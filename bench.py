@@ -1,0 +1,96 @@
+"""Benchmark: batched CarParking iLQG solves/s on one chip.
+
+Reference baseline (BASELINE.md): the generated C solver runs the CarParking
+example at 8 ms/iteration (``/root/reference/README.md:11``); at the
+workload's 200-iteration budget that is 1.6 s per solve => 0.625 solves/s on
+the author's machine, one instance per process.  ``vs_baseline`` is measured
+solves/s divided by that 0.625 solves/s.
+
+Prints exactly ONE JSON line on stdout; diagnostics go to stderr.
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=512)
+    ap.add_argument("--T", type=int, default=500)
+    ap.add_argument("--max-iter", type=int, default=200)
+    ap.add_argument("--dtype", default=None, help="float32|float64 (default: by platform)")
+    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+
+    platform = jax.devices()[0].platform
+    dtype = args.dtype or ("float64" if platform == "cpu" else "float32")
+    log(f"platform={platform} devices={jax.devices()} dtype={dtype}")
+
+    import ddp_generator_tpu as ddp
+    from ddp_generator_tpu.models import car_parking
+
+    problem = car_parking.car_parking()
+    options = ddp.SolverOptions(max_iter=args.max_iter, dtype=dtype)
+    solver = ddp.make_batched_solver(problem, options)
+
+    p, x0, _ = car_parking.default_setup(T=args.T, seed=0)
+    rng = np.random.default_rng(0)
+    B = args.batch
+    np_dtype = np.dtype(dtype)
+    x0s = np.tile(np.asarray(x0, np_dtype), (B, 1))
+    u0s = (0.1 * rng.standard_normal((B, args.T, 2))).astype(np_dtype)
+    p = {k: np.asarray(v, np_dtype) for k, v in p.items()}
+
+    t0 = time.time()
+    sol = solver(x0s, u0s, p)
+    jax.block_until_ready(sol.cost)
+    log(f"compile+first run: {time.time()-t0:.1f}s")
+
+    times = []
+    for r in range(args.repeats):
+        t0 = time.time()
+        sol = solver(x0s, u0s, p)
+        jax.block_until_ready(sol.cost)
+        times.append(time.time() - t0)
+    dt = min(times)
+
+    succ = np.asarray(sol.success)
+    iters = np.asarray(sol.iterations)
+    costs = np.asarray(sol.cost)
+    log(
+        f"batch={B} wall={dt:.3f}s success={succ.mean()*100:.1f}% "
+        f"iters: mean={iters.mean():.1f} max={iters.max()} "
+        f"cost: mean={costs.mean():.4f} median={np.median(costs):.4f}"
+    )
+
+    solves_per_s = B / dt
+    baseline_solves_per_s = 0.625  # 200 iter x 8 ms/iter (README.md:11)
+    print(
+        json.dumps(
+            {
+                "metric": "carparking_batched_solves_per_s_per_chip",
+                "value": round(solves_per_s, 3),
+                "unit": "solves/s",
+                "vs_baseline": round(solves_per_s / baseline_solves_per_s, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

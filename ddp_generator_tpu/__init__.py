@@ -1,0 +1,71 @@
+"""ddp_generator_tpu: a TPU-native DDP/iLQG solver framework.
+
+Brand-new implementation of the capability set of jgeisler0303/DDP-Generator
+(control-limited DDP/iLQG, Tassa/Mansard/Todorov ICRA 2014 -- cited at
+reference ``iLQG.c:4-9``), designed TPU-first:
+
+* problem definitions are traced JAX functions; ``jacfwd``/``jacrev`` replace
+  the reference's Maxima symbolic-differentiation + gentran C codegen;
+* the solver core is ``lax.scan`` over the horizon and a fully masked
+  ``lax.while_loop`` outer iteration, so the entire solve jits, vmaps over
+  instance batches, and shards over a ``jax.sharding.Mesh``;
+* the multi-alpha line search evaluates all alphas simultaneously (the
+  reference planned but never implemented this; ``README.md:9``).
+
+Quick start::
+
+    import ddp_generator_tpu as ddp
+    from ddp_generator_tpu.models import car_parking
+
+    problem = car_parking.car_parking()
+    p, x0, u0 = car_parking.default_setup(T=500)
+    sol = ddp.solve(problem, x0, u0, p, ddp.SolverOptions(max_iter=200))
+"""
+
+from .al import Multipliers, init_multipliers, update_multipliers
+from .derivs import DerivBundle, calc_derivs
+from .options import DEFAULT_ALPHA, OptionError, SolverOptions, options_from_dict
+from .problem import (
+    BoxConstraint,
+    Problem,
+    ProblemValidationError,
+    clamp_u,
+    limits_u,
+    make_problem,
+)
+from .solution import (
+    STATUS_DERIVS_FAILED,
+    STATUS_EXIT_LAMBDA_MAX,
+    STATUS_INIT_FAILED,
+    STATUS_MAX_ITER,
+    STATUS_NO_DESCENT,
+    STATUS_RUNNING,
+    STATUS_SUCCESS_GRADIENT,
+    STATUS_SUCCESS_TOLFUN,
+    Solution,
+)
+from .solver import make_batched_solver, make_solver, solve
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "BoxConstraint",
+    "DEFAULT_ALPHA",
+    "DerivBundle",
+    "Multipliers",
+    "OptionError",
+    "Problem",
+    "ProblemValidationError",
+    "Solution",
+    "SolverOptions",
+    "calc_derivs",
+    "clamp_u",
+    "init_multipliers",
+    "limits_u",
+    "make_batched_solver",
+    "make_problem",
+    "make_solver",
+    "options_from_dict",
+    "solve",
+    "update_multipliers",
+]

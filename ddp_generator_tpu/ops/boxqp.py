@@ -1,0 +1,219 @@
+"""Box-constrained QP: Tassa's projected-Newton boxQP, jit/vmap-safe.
+
+Faithful re-derivation of ``boxQP.c:39-238`` as a fixed-shape, fully masked
+``lax.while_loop``: the reference's active-set index compaction
+(``boxQP.c:129-146``) becomes a *masked* Cholesky factorization (clamped
+rows/cols replaced by identity), and all seven data-dependent exits become a
+result code selected inside the loop carry.
+
+Result codes (identical meaning to the reference):
+
+*  1: maxIter reached            (``boxQP.c:237``)
+*  2: minStep reached in Armijo  (``boxQP.c:223-224``)
+*  4: relative improvement below tol (``boxQP.c:85-86``)
+*  5: gradient norm below tol    (``boxQP.c:149-150``)
+*  6: all dimensions clamped     (``boxQP.c:125-126``)
+* -1: Cholesky failed (non-PD free-set Hessian) (``boxQP.c:141-143``)
+* -2: non-descent search direction (``boxQP.c:193-196``)
+
+``res < 1`` makes the backward pass fail and the outer loop raise lambda
+(``back_pass.c:168-171``, ``iLQG.c:272-275``).
+
+Hyper-parameters mirror ``boxQP.c:52-57``.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+Array = jax.Array
+
+
+class BoxQPHyper(NamedTuple):
+    max_iter: int = 100
+    min_grad: float = 1e-8
+    min_rel_improve: float = 1e-8
+    step_dec: float = 0.6
+    min_step: float = 1e-22
+    armijo: float = 0.1
+
+
+class BoxQPResult(NamedTuple):
+    x: Array  # (n,) solution
+    res: Array  # scalar int32 result code
+    clamped: Array  # (n,) int32: 0 free, 1 at lower, 2 at upper
+    free: Array  # (n,) bool
+    inv_h_free: Array  # (n, n) masked inverse of H[free,free] (zeros elsewhere)
+    n_free: Array  # scalar int32
+
+
+def _masked_chol_inverse(H: Array, free: Array):
+    """Cholesky-inverse of the free-set submatrix without index compaction.
+
+    Clamped rows/cols of H are replaced by identity so the dense factorization
+    equals the compacted one (``boxQP.c:129-146``) on the free block; the
+    inverse is then re-masked to zero outside the free block.
+    """
+    n = H.shape[0]
+    fmask = jnp.outer(free, free)
+    eye = jnp.eye(n, dtype=H.dtype)
+    Hm = jnp.where(fmask, H, eye)
+    chol = jnp.linalg.cholesky(Hm)
+    diag = jnp.diagonal(chol)
+    ok = jnp.all(jnp.isfinite(chol)) & jnp.all(diag > 0.0)
+    safe_chol = jnp.where(ok, chol, eye)
+    inv = jax.scipy.linalg.cho_solve((safe_chol, True), eye)
+    inv = jnp.where(fmask, inv, 0.0)
+    return inv, ok
+
+
+def _quad_value(H: Array, g: Array, x: Array) -> Array:
+    return x @ (g + 0.5 * (H @ x))
+
+
+class _Carry(NamedTuple):
+    x: Array
+    value: Array
+    oldvalue: Array
+    clamped: Array  # int32 (n,)
+    inv_h: Array
+    res: Array  # int32, 0 = still running
+    it: Array  # int32
+
+
+def boxqp(
+    H: Array,  # (n, n) symmetric (regularized Quu)
+    g: Array,  # (n,)
+    lower: Array,  # (n,) may be -inf
+    upper: Array,  # (n,) may be +inf
+    x0: Array,  # (n,) warm start (l from step k+1, back_pass.c:163-166)
+    hyper: BoxQPHyper = BoxQPHyper(),
+) -> BoxQPResult:
+    n = H.shape[0]
+    dtype = H.dtype
+    i32 = jnp.int32
+
+    x_init = jnp.clip(x0, lower, upper)
+    value_init = _quad_value(H, g, x_init)
+
+    def cond(c: _Carry):
+        return (c.res == 0) & (c.it < hyper.max_iter)
+
+    def body(c: _Carry) -> _Carry:
+        res = jnp.asarray(0, i32)
+
+        # --- relative improvement check (boxQP.c:85-86), skipped at iter 0 ---
+        stop_rel = (c.it > 0) & (
+            (c.oldvalue - c.value) < hyper.min_rel_improve * jnp.abs(c.oldvalue)
+        )
+        res = jnp.where(stop_rel, jnp.asarray(4, i32), res)
+        oldvalue = jnp.where(stop_rel, c.oldvalue, c.value)
+        live = res == 0
+
+        # --- gradient & clamp detection (boxQP.c:95-117) ---
+        grad = g + H @ c.x
+        at_lower = (c.x <= lower) & (grad > 0.0)
+        at_upper = (c.x >= upper) & (grad < 0.0)
+        clamped_new = jnp.where(
+            at_lower, jnp.asarray(1, i32), jnp.where(at_upper, jnp.asarray(2, i32), 0)
+        )
+        clamped = jnp.where(live, clamped_new, c.clamped)
+        free = clamped == 0
+        all_clamped = ~jnp.any(free)
+        clamps_changed = jnp.any((clamped_new != 0) != (c.clamped != 0))
+        gnorm2 = jnp.sum(jnp.where(free, grad * grad, 0.0))
+
+        res = jnp.where(live & all_clamped, jnp.asarray(6, i32), res)
+        live = res == 0
+
+        # --- (re)factorize free-set Hessian (boxQP.c:129-146) ---
+        need_factor = (c.it == 0) | clamps_changed
+        inv_new, chol_ok = _masked_chol_inverse(H, free)
+        do_factor = live & need_factor
+        inv_h = jnp.where(do_factor & chol_ok, inv_new, c.inv_h)
+        res = jnp.where(do_factor & ~chol_ok, jnp.asarray(-1, i32), res)
+        live = res == 0
+
+        # --- gradient tolerance (boxQP.c:148-150) ---
+        res = jnp.where(
+            live & (gnorm2 < hyper.min_grad * hyper.min_grad), jnp.asarray(5, i32), res
+        )
+        live = res == 0
+
+        # --- search direction (boxQP.c:153-177) ---
+        x_clamped_part = jnp.where(free, 0.0, c.x)
+        grad_clamped = g + H @ x_clamped_part
+        search = jnp.where(free, -(inv_h @ grad_clamped) - c.x, 0.0)
+        sdotg = jnp.sum(search * grad)
+        res = jnp.where(live & (sdotg >= 0.0), jnp.asarray(-2, i32), res)
+        live = res == 0
+
+        # --- Armijo backtracking (boxQP.c:198-227) ---
+        def a_cond(a):
+            step, _xc, _vc, done, failed = a
+            return ~(done | failed)
+
+        def a_body(a):
+            step, _xc, _vc, _done, _failed = a
+            xc = jnp.clip(c.x + step * search, lower, upper)
+            vc = _quad_value(H, g, xc)
+            accept = (vc - oldvalue) / (step * sdotg) >= hyper.armijo
+            next_step = step * hyper.step_dec
+            failed = ~accept & (next_step < hyper.min_step)
+            return (
+                jnp.where(accept, step, next_step),
+                xc,
+                vc,
+                accept,
+                failed,
+            )
+
+        a0 = (
+            jnp.ones((), dtype),
+            c.x,
+            c.value,
+            jnp.asarray(False),
+            jnp.asarray(False),
+        )
+        _step, xc, vc, a_done, a_failed = lax.while_loop(a_cond, a_body, a0)
+        res = jnp.where(live & a_failed, jnp.asarray(2, i32), res)
+        accepted = live & a_done
+
+        x = jnp.where(accepted, xc, c.x)
+        value = jnp.where(accepted, vc, c.value)
+
+        return _Carry(
+            x=x,
+            value=value,
+            oldvalue=oldvalue,
+            clamped=clamped,
+            inv_h=inv_h,
+            res=res,
+            it=c.it + 1,
+        )
+
+    init = _Carry(
+        x=x_init,
+        value=value_init,
+        oldvalue=jnp.zeros((), dtype),
+        clamped=jnp.zeros((n,), i32),
+        inv_h=jnp.zeros((n, n), dtype),
+        res=jnp.asarray(0, i32),
+        it=jnp.asarray(0, i32),
+    )
+    out = lax.while_loop(cond, body, init)
+    # Loop exhausted without another exit => maxIter (boxQP.c:237)
+    res = jnp.where(out.res == 0, jnp.asarray(1, jnp.int32), out.res)
+    free = out.clamped == 0
+    return BoxQPResult(
+        x=out.x,
+        res=res,
+        clamped=out.clamped,
+        free=free,
+        inv_h_free=out.inv_h,
+        n_free=jnp.sum(free.astype(jnp.int32)),
+    )

@@ -1,0 +1,135 @@
+"""Solver options.
+
+Same 19 runtime options, names, defaults and range validation as the reference
+``standard_parameters`` / ``setOptParam`` (``iLQG.c:57-216``), so a reference
+user can carry an options struct over verbatim.  Extra TPU-native knobs
+(``full_ddp``, ``dtype``, ``boxqp_max_iter`` ...) map to the reference's
+compile-time defines (``FULL_DDP`` at ``iLQG.h:4-6``, boxQP hyper-parameters at
+``boxQP.c:52-57``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import numpy as np
+
+# Default 8-point alpha schedule 10^linspace(0,-3,8) (iLQG.c:36).
+DEFAULT_ALPHA: Tuple[float, ...] = (
+    1.0,
+    0.3727594,
+    0.1389495,
+    0.0517947,
+    0.0193070,
+    0.0071969,
+    0.0026827,
+    0.0010000,
+)
+
+_INF = float("inf")
+
+
+class OptionError(ValueError):
+    """Bad option value (mirrors the setOptParam error strings, iLQG.c:80-89)."""
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverOptions:
+    """Runtime solver options (defaults: ``standard_parameters``, iLQG.c:57-78)."""
+
+    alpha: Tuple[float, ...] = DEFAULT_ALPHA
+    tolFun: float = 1e-7
+    tolConstraint: float = 1e-7
+    tolGrad: float = 1e-5
+    max_iter: int = 20
+    lambdaInit: float = 1.0
+    dlambdaInit: float = 1.0
+    lambdaFactor: float = 1.6
+    lambdaMax: float = 1e10
+    lambdaMin: float = 1e-6
+    regType: int = 1
+    zMin: float = 0.0
+    debug_level: int = 2
+    w_pen_init_l: float = 1.0
+    w_pen_init_f: float = 1.0
+    w_pen_max_l: float = _INF
+    w_pen_max_f: float = _INF
+    w_pen_fact1: float = 4.0  # 4..10, Bertsekas p. 123 (iLQG.c:76)
+    w_pen_fact2: float = 1.0
+
+    # --- TPU-native extensions (reference compile-time knobs) ---
+    full_ddp: bool = True  # FULL_DDP (iLQG.h:4-6): 2nd-order dynamics terms
+    dtype: str = "float64"  # numeric dtype of the solve
+    # boxQP hyper-parameters (boxQP.c:52-57)
+    boxqp_max_iter: int = 100
+    boxqp_min_grad: float = 1e-8
+    boxqp_min_rel_improve: float = 1e-8
+    boxqp_step_dec: float = 0.6
+    boxqp_min_step: float = 1e-22
+    boxqp_armijo: float = 0.1
+
+    def __post_init__(self):
+        a = np.asarray(self.alpha, dtype=np.float64)
+        if np.any((a < 0.0) | (a > 1.0)):
+            raise OptionError("all alpha must be in the range [1.0..0.0)")
+        if np.any(np.diff(a) >= 0.0):
+            raise OptionError("all alpha must be monotonically decreasing")
+        for nm in (
+            "tolFun",
+            "tolConstraint",
+            "tolGrad",
+            "lambdaInit",
+            "dlambdaInit",
+            "lambdaMax",
+            "lambdaMin",
+            "w_pen_init_l",
+            "w_pen_init_f",
+            "w_pen_max_l",
+            "w_pen_max_f",
+        ):
+            if getattr(self, nm) < 0.0:
+                raise OptionError(f"{nm}: parameter must be positive")
+        if self.tolFun <= 0 or self.tolGrad <= 0 or self.tolConstraint <= 0:
+            raise OptionError("parameter must be positive")
+        if self.max_iter < 0:
+            raise OptionError("max_iter: parameter must be positive")
+        for nm in ("lambdaFactor", "w_pen_fact1", "w_pen_fact2"):
+            if getattr(self, nm) < 1.0:
+                raise OptionError(f"{nm}: parameter must be > 1")
+        if not 1 <= self.regType <= 2:
+            raise OptionError("regType: parameter must be in range [1..2]")
+        if not 0.0 <= self.zMin < 1.0:
+            raise OptionError("zMin: parameter must be in range [0..1)")
+        if not 0 <= self.debug_level <= 6:
+            raise OptionError("debug_level: parameter must be in range [0..6]")
+
+    @property
+    def n_alpha(self) -> int:
+        return len(self.alpha)
+
+    def replace(self, **kw) -> "SolverOptions":
+        return dataclasses.replace(self, **kw)
+
+
+def options_from_dict(d: dict) -> SolverOptions:
+    """Build options from a name->value mapping (the MEX ``Op`` struct path,
+    ``iLQG_mex.c:60-67``).  Unknown names raise, as ``setOptParam`` does
+    (``iLQG.c:211-212``)."""
+    valid = {f.name for f in dataclasses.fields(SolverOptions)}
+    kw = {}
+    for name, value in d.items():
+        if name not in valid:
+            raise OptionError(f"{name}: no such parameter")
+        if name == "alpha":
+            value = tuple(float(v) for v in np.atleast_1d(value))
+        elif name in ("max_iter", "regType", "debug_level", "boxqp_max_iter"):
+            value = int(value)
+        elif name in ("full_ddp",):
+            value = bool(value)
+        elif name == "dtype":
+            value = str(value)
+        else:
+            value = float(value)
+        kw[name] = value
+    return SolverOptions(**kw)

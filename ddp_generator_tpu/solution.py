@@ -1,0 +1,47 @@
+"""Solution pytree returned by the solver.
+
+Field set mirrors the MEX outputs ``(success, x_new, u_new, new_cost)``
+(``iLQG_mex.c:88-98,127-137``) plus the optSet observability fields the
+reference keeps internally (``iterations``, ``g_norm``, ``lambda``, ``dV``,
+per-iteration logs ``log_linesearch``/``log_z``/``log_cost`` -- latent,
+never-allocated API in the reference, ``iLQG.h:56-58``; allocated for real
+here).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+
+Array = jax.Array
+
+# Status codes (reason for termination)
+STATUS_RUNNING = 0
+STATUS_SUCCESS_GRADIENT = 1  # g_norm < tolGrad && lambda < 1e-5 (iLQG.c:297)
+STATUS_SUCCESS_TOLFUN = 2  # dcost < tolFun (iLQG.c:329)
+STATUS_EXIT_LAMBDA_MAX = 3  # lambda > lambdaMax after reject (iLQG.c:356)
+STATUS_NO_DESCENT = 4  # back pass never succeeded (iLQG.c:367-371)
+STATUS_DERIVS_FAILED = 5  # NaN/Inf in derivatives (iLQG.c:247-249)
+STATUS_INIT_FAILED = 6  # initial rollout not finite
+STATUS_MAX_ITER = 7  # iteration budget exhausted (iLQG.c:372-376)
+
+
+class Solution(NamedTuple):
+    success: Array  # bool; reference return-value semantics (iLQG.c:367-378)
+    xs: Array  # (N+1, n_x) optimized state trajectory
+    us: Array  # (N, n_u) optimized inputs
+    cost: Array  # final (AL-augmented) cost
+    iterations: Array  # int32, as o->iterations (iLQG.c:365)
+    g_norm: Array
+    lam: Array  # final lambda
+    dlam: Array
+    w_pen_l: Array
+    w_pen_f: Array
+    status: Array  # int32, STATUS_* above
+    dcost: Array
+    expected: Array
+    z: Array
+    log_linesearch: Array  # (max_iter,) int32: #alphas tried (line_search.c:70)
+    log_z: Array  # (max_iter,)
+    log_cost: Array  # (max_iter,)

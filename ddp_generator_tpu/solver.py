@@ -1,0 +1,424 @@
+"""The outer iLQG loop -- TPU-native re-derivation of ``iLQG.c:224-379``.
+
+The whole solve is ONE jittable function built by :func:`make_solver`, with
+every data-dependent branch of the reference (Levenberg-Marquardt lambda
+escalation, accept/reject, penalty re-rollouts, early exits) expressed as
+masked state updates inside a ``lax.while_loop``.  That makes the solver
+``vmap``-able over problem instances: per-instance divergence of those
+branches is exactly per-lane masking (SURVEY.md section 7 "hard parts").
+
+Per iteration (cf. the STEP comments in ``iLQG.c:239-361``):
+
+1. derivatives along the nominal trajectory when ``newDeriv`` (iLQG.c:241-256)
+   -- the fresh bundle is selected against the stored one so rejected steps
+   keep using the *stale* derivatives exactly like the reference (which does
+   not refresh derivatives after penalty-weight bumps on reject);
+2. backward pass with lambda escalation on failure (iLQG.c:261-284);
+3. gradient-tolerance exit (iLQG.c:297-303);
+4. multi-alpha line search (iLQG.c:307, line_search.c);
+5. accept: lambda decrease, trajectory swap, tolFun exit, multiplier update +
+   penalty re-rollout (iLQG.c:312-339); reject: lambda increase, optional
+   w_pen_fact2 penalty bump + re-rollout, lambdaMax exit (iLQG.c:340-361).
+
+Console tracing: the reference prints per-iteration status at
+``debug_level >= 1`` via the injected ``PRNT`` (iLQG.c:313-314,352-353).  In a
+jitted TPU solver host-side printing serializes execution, so tracing is only
+emitted (via ``jax.debug.print``) at ``debug_level >= 3``; levels 1-2 keep the
+reference's default numeric behavior with no host round-trips.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from . import solution as sol
+from .al import Multipliers, init_multipliers, update_multipliers
+from .derivs import DerivBundle, calc_derivs
+from .options import SolverOptions
+from .ops.backpass import back_pass
+from .ops.boxqp import BoxQPHyper
+from .ops.forward import cost_only, forward_pass
+from .ops.linesearch import line_search
+from .problem import Problem
+from .solution import Solution
+from .utils.tree import tree_where, tree_zeros_like_shape
+
+Array = jax.Array
+
+
+class _Carry(NamedTuple):
+    xs: Array
+    us: Array
+    cost: Array
+    derivs: DerivBundle
+    mult: Multipliers
+    lam: Array
+    dlam: Array
+    w_pen_l: Array
+    w_pen_f: Array
+    new_deriv: Array  # bool
+    back_pass_done: Array  # bool (final-success determination, iLQG.c:367)
+    it: Array  # int32
+    done: Array  # bool
+    status: Array  # int32
+    g_norm: Array
+    dcost: Array
+    expected: Array
+    z: Array
+    log_linesearch: Array
+    log_z: Array
+    log_cost: Array
+
+
+def _boxqp_hyper(o: SolverOptions) -> BoxQPHyper:
+    return BoxQPHyper(
+        max_iter=o.boxqp_max_iter,
+        min_grad=o.boxqp_min_grad,
+        min_rel_improve=o.boxqp_min_rel_improve,
+        step_dec=o.boxqp_step_dec,
+        min_step=o.boxqp_min_step,
+        armijo=o.boxqp_armijo,
+    )
+
+
+@functools.lru_cache(maxsize=64)
+def make_solver(problem: Problem, options: SolverOptions = SolverOptions()):
+    """Build the jitted solver ``(x0, u0, params) -> Solution``.
+
+    Counterpart of the whole build+MEX pipeline of the reference
+    (``make_iLQG.m`` + ``iLQG_mex.c``): "generation" is JAX tracing at first
+    call; the returned function is cached per (problem, options).
+
+    * ``x0``: (n_x,) initial state
+    * ``u0``: (N, n_u) initial nominal controls (defines the horizon)
+    * ``params``: problem-parameter pytree (free symbols of the reference,
+      ``genenerator_main.mac:131-169``); scalars, fixed arrays, and
+      ``[k]``-indexed time-varying arrays of length N+1 all work.
+    """
+    o = options
+    dtype = jnp.dtype(o.dtype)
+    hyper = _boxqp_hyper(o)
+    lambda_success_thresh = 1e-5  # iLQG.c:297
+
+    def solve_fn(x0: Array, u0: Array, params: Any) -> Solution:
+        x0 = jnp.asarray(x0, dtype)
+        u0 = jnp.asarray(u0, dtype)
+        N = u0.shape[0]
+        alphas = jnp.asarray(o.alpha, dtype)
+        w_pen_max_l = jnp.asarray(o.w_pen_max_l, dtype)
+        w_pen_max_f = jnp.asarray(o.w_pen_max_f, dtype)
+
+        mult0 = init_multipliers(problem, N, dtype)
+        w_pen_l0 = jnp.asarray(o.w_pen_init_l, dtype)
+        w_pen_f0 = jnp.asarray(o.w_pen_init_f, dtype)
+
+        # Initial open-loop rollout (iLQG_mex.c:113-116): alpha=0, u = u0.
+        zeros_l = jnp.zeros((N, problem.n_u), dtype)
+        zeros_L = jnp.zeros((N, problem.n_u, problem.n_x), dtype)
+        xs_dummy = jnp.zeros((N + 1, problem.n_x), dtype)
+        r0 = forward_pass(
+            problem, x0, xs_dummy, u0, zeros_l, zeros_L,
+            jnp.zeros((), dtype), params,
+            mult0.mu_le, mult0.mu_li, mult0.mu_fe, mult0.mu_fi,
+            w_pen_l0, w_pen_f0,
+        )
+
+        # update_multipliers(o, 1): record last_h along the initial
+        # trajectory (iLQG.c:237).
+        mu0 = update_multipliers(
+            problem, r0.xs, r0.us, params, mult0,
+            w_pen_l0, w_pen_f0, w_pen_max_l, w_pen_max_f,
+            o.w_pen_fact1, o.tolConstraint, init=True,
+        )
+
+        derivs_shape = jax.eval_shape(
+            lambda xs, us: calc_derivs(
+                problem, xs, us, params,
+                mu0.multipliers.mu_le, mu0.multipliers.mu_li,
+                mu0.multipliers.mu_fe, mu0.multipliers.mu_fi,
+                w_pen_l0, w_pen_f0, o.full_ddp,
+            ),
+            r0.xs, r0.us,
+        )
+        derivs0 = tree_zeros_like_shape(derivs_shape)
+
+        init_failed = ~r0.ok
+        carry0 = _Carry(
+            xs=r0.xs,
+            us=r0.us,
+            cost=r0.cost,
+            derivs=derivs0,
+            mult=mu0.multipliers,
+            lam=jnp.asarray(o.lambdaInit, dtype),
+            dlam=jnp.asarray(o.dlambdaInit, dtype),
+            w_pen_l=w_pen_l0,
+            w_pen_f=w_pen_f0,
+            new_deriv=jnp.asarray(True),
+            back_pass_done=jnp.asarray(False),
+            it=jnp.asarray(0, jnp.int32),
+            done=init_failed,
+            status=jnp.where(
+                init_failed,
+                jnp.asarray(sol.STATUS_INIT_FAILED, jnp.int32),
+                jnp.asarray(sol.STATUS_RUNNING, jnp.int32),
+            ),
+            g_norm=jnp.zeros((), dtype),
+            dcost=jnp.zeros((), dtype),
+            expected=jnp.zeros((), dtype),
+            z=jnp.zeros((), dtype),
+            log_linesearch=jnp.zeros((max(o.max_iter, 1),), jnp.int32),
+            log_z=jnp.zeros((max(o.max_iter, 1),), dtype),
+            log_cost=jnp.zeros((max(o.max_iter, 1),), dtype),
+        )
+
+        def loop_cond(c: _Carry):
+            return (~c.done) & (c.it < o.max_iter)
+
+        def loop_body(c: _Carry) -> _Carry:
+            status = c.status
+            # ===== STEP 1: derivatives (iLQG.c:241-256) =====
+            fresh = calc_derivs(
+                problem, c.xs, c.us, params,
+                c.mult.mu_le, c.mult.mu_li, c.mult.mu_fe, c.mult.mu_fi,
+                c.w_pen_l, c.w_pen_f, o.full_ddp,
+            )
+            derivs = tree_where(c.new_deriv, fresh, c.derivs)
+            derivs_failed = c.new_deriv & ~fresh.ok
+            status = jnp.where(
+                derivs_failed, jnp.asarray(sol.STATUS_DERIVS_FAILED, jnp.int32),
+                status,
+            )
+            alive = ~derivs_failed
+            new_deriv = jnp.asarray(False)
+
+            # ===== STEP 2: backward pass + lambda escalation =====
+            # (iLQG.c:261-284)
+            def bp_cond(s):
+                lam, dlam, _bp, bp_done, gave_up = s
+                return alive & ~bp_done & ~gave_up
+
+            def bp_body(s):
+                lam, dlam, _bp, _bp_done, _gave_up = s
+                bp = back_pass(derivs, c.us, lam, o.regType, o.full_ddp, hyper)
+                dlam_f = jnp.maximum(dlam * o.lambdaFactor, o.lambdaFactor)
+                lam_f = jnp.maximum(lam * dlam_f, o.lambdaMin)
+                gave_up = bp.failed & (lam_f > o.lambdaMax)
+                return (
+                    jnp.where(bp.failed, lam_f, lam),
+                    jnp.where(bp.failed, dlam_f, dlam),
+                    bp,
+                    ~bp.failed,
+                    gave_up,
+                )
+
+            bp_init_shape = jax.eval_shape(
+                lambda: back_pass(derivs, c.us, c.lam, o.regType, o.full_ddp, hyper)
+            )
+            bp0 = tree_zeros_like_shape(bp_init_shape)
+            lam, dlam, bp, bp_done, _gave_up = lax.while_loop(
+                bp_cond, bp_body, (c.lam, c.dlam, bp0, jnp.asarray(False), jnp.asarray(False))
+            )
+            status = jnp.where(
+                alive & ~bp_done, jnp.asarray(sol.STATUS_NO_DESCENT, jnp.int32),
+                status,
+            )
+            alive = alive & bp_done
+            back_pass_done = jnp.where(alive, bp_done, c.back_pass_done)
+            g_norm = jnp.where(alive, bp.g_norm, c.g_norm)
+
+            # ===== gradient-tolerance exit (iLQG.c:297-303) =====
+            grad_exit = alive & (g_norm < o.tolGrad) & (lam < lambda_success_thresh)
+            dlam_g = jnp.minimum(dlam / o.lambdaFactor, 1.0 / o.lambdaFactor)
+            lam_g = lam * dlam_g * (lam > o.lambdaMin).astype(dtype)
+            dlam = jnp.where(grad_exit, dlam_g, dlam)
+            lam = jnp.where(grad_exit, lam_g, lam)
+            status = jnp.where(
+                grad_exit, jnp.asarray(sol.STATUS_SUCCESS_GRADIENT, jnp.int32),
+                status,
+            )
+            alive = alive & ~grad_exit
+
+            # ===== STEP 3: line search (iLQG.c:305-309) =====
+            ls = line_search(
+                problem, alphas, x0, c.xs, c.us, bp.l, bp.L, bp.dV, c.cost,
+                o.zMin, params,
+                c.mult.mu_le, c.mult.mu_li, c.mult.mu_fe, c.mult.mu_fi,
+                c.w_pen_l, c.w_pen_f,
+            )
+            log_linesearch = jnp.where(
+                alive,
+                c.log_linesearch.at[c.it].set(
+                    jnp.minimum(ls.alpha_index + 1, len(o.alpha)).astype(jnp.int32)
+                ),
+                c.log_linesearch,
+            )
+            log_z = jnp.where(alive, c.log_z.at[c.it].set(ls.z), c.log_z)
+            log_cost = jnp.where(
+                alive, c.log_cost.at[c.it].set(ls.new_cost), c.log_cost
+            )
+
+            accepted = alive & ls.success
+            rejected = alive & ~ls.success
+
+            # ===== STEP 4a: accept (iLQG.c:312-339) =====
+            dlam_a = jnp.minimum(dlam / o.lambdaFactor, 1.0 / o.lambdaFactor)
+            lam_a = lam * dlam_a * (lam > o.lambdaMin).astype(dtype)
+            xs = tree_where(accepted, ls.xs, c.xs)
+            us = tree_where(accepted, ls.us, c.us)
+            cost = jnp.where(accepted, ls.new_cost, c.cost)
+            new_deriv = new_deriv | accepted
+
+            tolfun_exit = accepted & (ls.dcost < o.tolFun)
+            status = jnp.where(
+                tolfun_exit, jnp.asarray(sol.STATUS_SUCCESS_TOLFUN, jnp.int32),
+                status,
+            )
+            do_mult_update = accepted & ~tolfun_exit
+
+            upd = update_multipliers(
+                problem, xs, us, params, c.mult,
+                c.w_pen_l, c.w_pen_f, w_pen_max_l, w_pen_max_f,
+                o.w_pen_fact1, o.tolConstraint, init=False,
+            )
+            mult = tree_where(do_mult_update, upd.multipliers, c.mult)
+            w_pen_l = jnp.where(do_mult_update, upd.w_pen_l, c.w_pen_l)
+            w_pen_f = jnp.where(do_mult_update, upd.w_pen_f, c.w_pen_f)
+
+            # ===== STEP 4b: reject (iLQG.c:340-361) =====
+            dlam_r = jnp.maximum(dlam * o.lambdaFactor, o.lambdaFactor)
+            lam_r = jnp.maximum(lam * dlam_r, o.lambdaMin)
+            dlam = jnp.where(accepted, dlam_a, jnp.where(rejected, dlam_r, dlam))
+            lam = jnp.where(accepted, lam_a, jnp.where(rejected, lam_r, lam))
+
+            if o.w_pen_fact2 > 1.0:
+                bump = rejected
+                w_pen_l = jnp.where(
+                    bump, jnp.minimum(w_pen_max_l, w_pen_l * o.w_pen_fact2), w_pen_l
+                )
+                w_pen_f = jnp.where(
+                    bump, jnp.minimum(w_pen_max_f, w_pen_f * o.w_pen_fact2), w_pen_f
+                )
+                recost = do_mult_update | bump
+            else:
+                recost = do_mult_update
+
+            # Penalty re-rollout: forward_pass(nominal, o, 0.0, &cost, 1)
+            # (iLQG.c:338,348) -- cost of the unchanged trajectory under the
+            # new multipliers / penalty weights.
+            new_cost_eval = cost_only(
+                problem, xs, us, params,
+                mult.mu_le, mult.mu_li, mult.mu_fe, mult.mu_fi,
+                w_pen_l, w_pen_f,
+            )
+            cost = jnp.where(recost, new_cost_eval, cost)
+
+            lammax_exit = rejected & (lam > o.lambdaMax)
+            status = jnp.where(
+                lammax_exit, jnp.asarray(sol.STATUS_EXIT_LAMBDA_MAX, jnp.int32),
+                status,
+            )
+
+            done = status != sol.STATUS_RUNNING
+            if o.debug_level >= 3:
+                jax.debug.print(
+                    "iter: {i}  accepted: {a}  cost: {c:.6g}  reduction: {d:.3g}"
+                    "  gradient: {g:.3g}  z: {z:.3g}  log10(lam): {l:.1f}"
+                    "  w_pen_l: {wl:.3g} w_pen_f: {wf:.3g}",
+                    i=c.it + 1, a=accepted, c=cost, d=ls.dcost, g=g_norm,
+                    z=ls.z, l=jnp.log10(jnp.maximum(lam, 1e-300)),
+                    wl=w_pen_l, wf=w_pen_f,
+                )
+
+            return _Carry(
+                xs=xs,
+                us=us,
+                cost=cost,
+                derivs=derivs,
+                mult=mult,
+                lam=lam,
+                dlam=dlam,
+                w_pen_l=w_pen_l,
+                w_pen_f=w_pen_f,
+                new_deriv=new_deriv,
+                back_pass_done=back_pass_done,
+                # C breaks before the for-increment, so o->iterations keeps
+                # the breaking iteration's index (iLQG.c:365).
+                it=jnp.where(done, c.it, c.it + 1),
+                done=done,
+                status=status,
+                g_norm=g_norm,
+                dcost=jnp.where(alive, ls.dcost, c.dcost),
+                expected=jnp.where(alive, ls.expected, c.expected),
+                z=jnp.where(alive, ls.z, c.z),
+                log_linesearch=log_linesearch,
+                log_z=log_z,
+                log_cost=log_cost,
+            )
+
+        final = lax.while_loop(loop_cond, loop_body, carry0)
+        max_iter_hit = (final.status == sol.STATUS_RUNNING) & (
+            final.it >= o.max_iter
+        )
+        status = jnp.where(
+            max_iter_hit, jnp.asarray(sol.STATUS_MAX_ITER, jnp.int32), final.status
+        )
+        # Reference success semantics (iLQG.c:367-378): backPassDone and not
+        # max_iter exhausted.
+        success = final.back_pass_done & (final.it < o.max_iter)
+        return Solution(
+            success=success,
+            xs=final.xs,
+            us=final.us,
+            cost=final.cost,
+            iterations=final.it,
+            g_norm=final.g_norm,
+            lam=final.lam,
+            dlam=final.dlam,
+            w_pen_l=final.w_pen_l,
+            w_pen_f=final.w_pen_f,
+            status=status,
+            dcost=final.dcost,
+            expected=final.expected,
+            z=final.z,
+            log_linesearch=final.log_linesearch,
+            log_z=final.log_z,
+            log_cost=final.log_cost,
+        )
+
+    return jax.jit(solve_fn)
+
+
+def solve(
+    problem: Problem,
+    x0,
+    u0,
+    params: Any,
+    options: SolverOptions = SolverOptions(),
+) -> Solution:
+    """One-call convenience API: ``solve(problem, x0, u0, params, options)``.
+
+    Mirrors the MEX call ``iLQG<Problem>(x0, u_nom, params, opt_params)``
+    (``iLQG_mex.c:32-33``)."""
+    return make_solver(problem, options)(x0, u0, params)
+
+
+def make_batched_solver(
+    problem: Problem,
+    options: SolverOptions = SolverOptions(),
+    batch_params: bool = False,
+):
+    """vmap the full solver over a leading instance-batch axis.
+
+    The reference solves exactly one ``(x0, u_nom)`` per process
+    (``iLQG_mex.c:19-144``); on TPU the batch axis is where the throughput
+    comes from (SURVEY.md section 2, data-parallelism row).  ``batch_params``
+    batches the parameter pytree too (multi-problem batches).
+    """
+    base = make_solver(problem, options)
+    in_axes = (0, 0, 0 if batch_params else None)
+    return jax.jit(jax.vmap(base, in_axes=in_axes))
