@@ -23,6 +23,7 @@ Quick start::
 """
 
 from .al import Multipliers, init_multipliers, update_multipliers
+from .inspect_api import ProblemInspector, inspect
 from .derivs import DerivBundle, calc_derivs
 from .options import DEFAULT_ALPHA, OptionError, SolverOptions, options_from_dict
 from .problem import (
@@ -58,9 +59,11 @@ __all__ = [
     "ProblemValidationError",
     "Solution",
     "SolverOptions",
+    "ProblemInspector",
     "calc_derivs",
     "clamp_u",
     "init_multipliers",
+    "inspect",
     "limits_u",
     "make_batched_solver",
     "make_problem",

@@ -1,0 +1,111 @@
+"""Batched (vmap) and mesh-sharded solving.
+
+The reference has no batching at all (one instance per process,
+``iLQG_mex.c:19-144``); these tests pin down the TPU-native contract: the
+batched solver must give bit-identical results to per-instance solves, and
+the sharded path must run on a multi-device mesh (8 virtual CPU devices,
+SURVEY.md section 4).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import ddp_generator_tpu as ddp
+from ddp_generator_tpu.models import brachistochrone, car_parking
+from ddp_generator_tpu.parallel import mesh as pmesh
+
+
+@pytest.fixture(scope="module")
+def car_small():
+    prob = car_parking.car_parking()
+    p, x0, _ = car_parking.default_setup(T=60)
+    opts = ddp.SolverOptions(max_iter=30)
+    return prob, p, x0, opts
+
+
+def _batch_inputs(x0, B, T, seed=0):
+    rng = np.random.default_rng(seed)
+    x0s = jnp.asarray(np.tile(np.asarray(x0), (B, 1)))
+    u0s = jnp.asarray(0.1 * rng.standard_normal((B, T, 2)))
+    return x0s, u0s
+
+
+def test_vmap_matches_single(car_small):
+    prob, p, x0, opts = car_small
+    B, T = 4, 60
+    x0s, u0s = _batch_inputs(x0, B, T)
+    batched = ddp.make_batched_solver(prob, opts)
+    sol_b = batched(x0s, u0s, p)
+    single = ddp.make_solver(prob, opts)
+    for b in range(B):
+        sol_s = single(x0s[b], u0s[b], p)
+        # Identical masked control flow => identical results
+        np.testing.assert_allclose(sol_b.cost[b], sol_s.cost, rtol=1e-12)
+        np.testing.assert_array_equal(sol_b.iterations[b], sol_s.iterations)
+        np.testing.assert_array_equal(sol_b.status[b], sol_s.status)
+        np.testing.assert_allclose(sol_b.us[b], sol_s.us, atol=1e-12)
+
+
+def test_batched_instances_diverge_independently(car_small):
+    """Instances accept/reject/converge on different iterations; masking must
+    keep them independent."""
+    prob, p, x0, opts = car_small
+    B, T = 8, 60
+    x0s, u0s = _batch_inputs(x0, B, T, seed=3)
+    batched = ddp.make_batched_solver(prob, opts)
+    sol = batched(x0s, u0s, p)
+    iters = np.asarray(sol.iterations)
+    assert len(np.unique(iters)) > 1  # genuinely divergent control flow
+
+
+def test_sharded_solver_runs_on_mesh():
+    assert len(jax.devices()) == 8, "conftest must provide 8 CPU devices"
+    prob = brachistochrone.brachistochrone()
+    p, x0, u0 = brachistochrone.default_setup(40)
+    opts = ddp.SolverOptions(
+        max_iter=20, w_pen_init_f=40.0, w_pen_fact2=2.0, full_ddp=False
+    )
+    m = pmesh.make_mesh()
+    solver = pmesh.make_sharded_solver(prob, opts, mesh=m)
+    B = 16
+    x0s = jnp.asarray(np.tile(np.asarray(x0), (B, 1)))
+    u0s = jnp.asarray(np.tile(np.asarray(u0), (B, 1, 1)))
+    sol, stats = solver(x0s, u0s, p)
+    assert int(stats.n_instances) == B
+    assert int(stats.n_success) == B
+    np.testing.assert_allclose(np.asarray(sol.xs[:, -1, 0]), -4.0, atol=1e-5)
+    # result really is sharded over the mesh
+    assert len(sol.cost.sharding.device_set) == 8
+
+
+def test_sharded_matches_unsharded():
+    prob = brachistochrone.brachistochrone()
+    p, x0, u0 = brachistochrone.default_setup(30)
+    opts = ddp.SolverOptions(
+        max_iter=15, w_pen_init_f=40.0, w_pen_fact2=2.0, full_ddp=False
+    )
+    B = 8
+    rng = np.random.default_rng(0)
+    x0s = jnp.asarray(np.tile(np.asarray(x0), (B, 1)))
+    u0s = jnp.asarray(-np.abs(rng.uniform(0.5, 1.5, (B, 30, 1))))
+    sol_sh, _ = pmesh.make_sharded_solver(prob, opts)(x0s, u0s, p)
+    sol_un = ddp.make_batched_solver(prob, opts)(x0s, u0s, p)
+    np.testing.assert_allclose(sol_sh.cost, sol_un.cost, rtol=1e-10)
+
+
+def test_batched_params(car_small):
+    """Per-instance parameter pytrees (multi-problem batch)."""
+    prob, p, x0, opts = car_small
+    B, T = 4, 60
+    x0s, u0s = _batch_inputs(x0, B, T)
+    ps = {k: jnp.asarray(np.tile(np.asarray(v, np.float64), (B,) + (1,) * np.ndim(v)))
+          for k, v in p.items()}
+    # vary the wheel-angle limit per instance
+    ps["limW"] = jnp.asarray([[-0.5, 0.5], [-0.4, 0.4], [-0.3, 0.3], [-0.2, 0.2]])
+    batched = ddp.make_batched_solver(prob, opts, batch_params=True)
+    sol = batched(x0s, u0s, ps)
+    w_max = np.max(np.abs(np.asarray(sol.us[..., 0])), axis=1)
+    for b, lim in enumerate([0.5, 0.4, 0.3, 0.2]):
+        assert w_max[b] <= lim + 1e-12
