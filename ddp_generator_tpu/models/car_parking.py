@@ -78,6 +78,10 @@ def car_parking() -> Problem:
     return make_problem(
         n_x=4, n_u=2, f=f, L=L, F=F, h=[h1, h2, h3, h4],
         name="CarParking", example_params=default_params(),
+        # (u_index, sign) per constraint -- keeps problem construction
+        # device-free (the generator's symbolic proof, done by hand here:
+        # h1=-w+limW[0] -> lower bound on u[0]; h2=w-limW[1] -> upper; ...)
+        box_meta=[(0, -1.0), (0, 1.0), (1, -1.0), (1, 1.0)],
     )
 
 

@@ -57,16 +57,48 @@ def _masked_chol_inverse(H: Array, free: Array):
     Clamped rows/cols of H are replaced by identity so the dense factorization
     equals the compacted one (``boxQP.c:129-146``) on the free block; the
     inverse is then re-masked to zero outside the free block.
+
+    For n <= 3 (the common control dimensions; the car has N_U=2) the inverse
+    and the positive-definiteness test use closed forms (Sylvester's
+    criterion: all leading principal minors positive <=> Cholesky succeeds) --
+    a generic Cholesky on a 2x2 inside a scan x while_loop nest is pure
+    scalar-unit overhead on TPU.
     """
     n = H.shape[0]
     fmask = jnp.outer(free, free)
     eye = jnp.eye(n, dtype=H.dtype)
     Hm = jnp.where(fmask, H, eye)
-    chol = jnp.linalg.cholesky(Hm)
-    diag = jnp.diagonal(chol)
-    ok = jnp.all(jnp.isfinite(chol)) & jnp.all(diag > 0.0)
-    safe_chol = jnp.where(ok, chol, eye)
-    inv = jax.scipy.linalg.cho_solve((safe_chol, True), eye)
+    if n == 1:
+        ok = (Hm[0, 0] > 0.0) & jnp.isfinite(Hm[0, 0])
+        inv = jnp.where(ok, 1.0 / Hm[0, 0], 1.0)[None, None]
+    elif n == 2:
+        a, b, d = Hm[0, 0], Hm[0, 1], Hm[1, 1]
+        det = a * d - b * b
+        ok = (a > 0.0) & (det > 0.0) & jnp.all(jnp.isfinite(Hm))
+        safe_det = jnp.where(ok, det, 1.0)
+        inv = jnp.stack([jnp.stack([d, -b]), jnp.stack([-b, a])]) / safe_det
+    elif n == 3:
+        a, b, c = Hm[0, 0], Hm[0, 1], Hm[0, 2]
+        d, e, f = Hm[1, 1], Hm[1, 2], Hm[2, 2]
+        m1 = a
+        m2 = a * d - b * b
+        det = a * (d * f - e * e) - b * (b * f - c * e) + c * (b * e - c * d)
+        ok = (m1 > 0.0) & (m2 > 0.0) & (det > 0.0) & jnp.all(jnp.isfinite(Hm))
+        safe_det = jnp.where(ok, det, 1.0)
+        adj = jnp.stack(
+            [
+                jnp.stack([d * f - e * e, c * e - b * f, b * e - c * d]),
+                jnp.stack([c * e - b * f, a * f - c * c, b * c - a * e]),
+                jnp.stack([b * e - c * d, b * c - a * e, a * d - b * b]),
+            ]
+        )
+        inv = adj / safe_det
+    else:
+        chol = jnp.linalg.cholesky(Hm)
+        diag = jnp.diagonal(chol)
+        ok = jnp.all(jnp.isfinite(chol)) & jnp.all(diag > 0.0)
+        safe_chol = jnp.where(ok, chol, eye)
+        inv = jax.scipy.linalg.cho_solve((safe_chol, True), eye)
     inv = jnp.where(fmask, inv, 0.0)
     return inv, ok
 

@@ -34,8 +34,9 @@ which is what the generated ``clampU`` / ``limitsU`` code does
 
 from __future__ import annotations
 
+import contextlib
 import dataclasses
-from typing import Any, Callable, Sequence
+from typing import Any, Callable, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -142,13 +143,32 @@ def analyze_box_constraints(
     several random points).
     """
     rng = np.random.default_rng(seed)
+    # Probing is host-side setup: pin it to a CPU device when one is
+    # registered so it never round-trips through a (remote) TPU backend.
+    try:
+        device_ctx = jax.default_device(jax.local_devices(backend="cpu")[0])
+    except RuntimeError:
+        device_ctx = contextlib.nullcontext()
+    out = []
+    with device_ctx:
+        return _analyze_on_device(n_x, n_u, h, params, n_probe, rng)
+
+
+def _analyze_on_device(n_x, n_u, h, params, n_probe, rng):
     out = []
     for ci, fn in enumerate(h):
-        grads = []
-        for _ in range(n_probe):
-            x, u, p, k = _example_args(n_x, n_u, params, rng)
-            gu = jax.grad(lambda u_, x_=x, p_=p, k_=k: fn(x_, u_, p_, k_))(u)
-            grads.append(np.asarray(gu, dtype=np.float64))
+        # All probe points in ONE jitted call: eager per-point autodiff would
+        # dispatch hundreds of tiny ops, which is pathologically slow on
+        # remote-compile TPU backends (host round-trip per op).
+        xs = jnp.asarray(rng.normal(size=(n_probe, n_x)))
+        us = jnp.asarray(rng.normal(size=(n_probe, n_u)))
+        k = jnp.asarray(0, dtype=jnp.int32)
+
+        def gu_fn(x, u, fn=fn):
+            return jax.grad(lambda u_: fn(x, u_, params, k))(u)
+
+        gus = np.asarray(jax.jit(jax.vmap(gu_fn))(xs, us), dtype=np.float64)
+        grads = list(gus)
         g0 = grads[0]
         for g in grads[1:]:
             if not np.allclose(g, g0, atol=1e-9, rtol=1e-9):
@@ -226,12 +246,21 @@ def make_problem(
     name: str = "problem",
     example_params: Any = None,
     validate: bool = True,
+    box_meta: Optional[Sequence[tuple[int, float]]] = None,
 ) -> Problem:
     """Build and validate a :class:`Problem`.
 
     ``example_params`` is a params pytree used only for tracing during
     validation and box-constraint analysis (values irrelevant, shapes matter
     for ``[k]``-indexed arrays; any horizon-sized arrays should be non-empty).
+
+    ``box_meta``: optional pre-declared ``(u_index, sign)`` per ``h``
+    constraint.  When given, the numeric probing of
+    :func:`analyze_box_constraints` is skipped -- useful to keep problem
+    construction entirely device-free (probing runs tiny autodiff programs,
+    which is slow on remote-compiled TPU backends).  The declared metadata is
+    trusted; it corresponds to what the reference generator proves
+    symbolically (``genenerator_main.mac:385-395``).
     """
     problem = Problem(
         n_x=n_x,
@@ -248,14 +277,19 @@ def make_problem(
     )
     if validate:
         _validate_shapes(problem, example_params)
-        box = analyze_box_constraints(n_x, n_u, problem.h, example_params)
-        problem = dataclasses.replace(problem, box_constraints=box)
+    if box_meta is not None:
+        if len(box_meta) != len(problem.h):
+            raise ProblemValidationError(
+                f"box_meta has {len(box_meta)} entries for {len(problem.h)} "
+                "h constraints"
+            )
+        box = tuple(
+            BoxConstraint(fn=fn, u_index=int(idx), sign=float(sign))
+            for fn, (idx, sign) in zip(problem.h, box_meta)
+        )
     else:
-        # Unvalidated: assume each h_i is already in normal form is impossible;
-        # analysis is cheap, run it anyway so clamp/limits work.
         box = analyze_box_constraints(n_x, n_u, problem.h, example_params)
-        problem = dataclasses.replace(problem, box_constraints=box)
-    return problem
+    return dataclasses.replace(problem, box_constraints=box)
 
 
 def constraint_limit(bc: BoxConstraint, x: Array, u: Array, p: Any, k: Array) -> Array:

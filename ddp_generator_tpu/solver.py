@@ -76,10 +76,24 @@ class _Carry(NamedTuple):
 
 
 def _boxqp_hyper(o: SolverOptions) -> BoxQPHyper:
+    min_grad = o.boxqp_min_grad
+    min_rel_improve = o.boxqp_min_rel_improve
+    if jnp.dtype(o.dtype) == jnp.float32:
+        # The reference hyper-parameters (boxQP.c:52-57) are calibrated for
+        # double precision.  In float32 a warm-started-at-the-optimum QP
+        # cannot drive its gradient below ~eps*|g| ~ 1e-8, so the 1e-8
+        # minGrad is unreachable and the residual search direction is
+        # rounding noise, tripping the non-descent failure (res=-2) and a
+        # spurious lambda escalation.  Scale the tolerances to the dtype
+        # unless the user overrode them.
+        if min_grad == 1e-8:
+            min_grad = 1e-5
+        if min_rel_improve == 1e-8:
+            min_rel_improve = 1e-6
     return BoxQPHyper(
         max_iter=o.boxqp_max_iter,
-        min_grad=o.boxqp_min_grad,
-        min_rel_improve=o.boxqp_min_rel_improve,
+        min_grad=min_grad,
+        min_rel_improve=min_rel_improve,
         step_dec=o.boxqp_step_dec,
         min_step=o.boxqp_min_step,
         armijo=o.boxqp_armijo,
@@ -105,9 +119,16 @@ def make_solver(problem: Problem, options: SolverOptions = SolverOptions()):
     hyper = _boxqp_hyper(o)
     lambda_success_thresh = 1e-5  # iLQG.c:297
 
+    def _cast_param(leaf):
+        a = jnp.asarray(leaf)
+        return a.astype(dtype) if jnp.issubdtype(a.dtype, jnp.floating) else a
+
     def solve_fn(x0: Array, u0: Array, params: Any) -> Solution:
         x0 = jnp.asarray(x0, dtype)
         u0 = jnp.asarray(u0, dtype)
+        # Cast all floating params to the solve dtype so a float64 params
+        # pytree can't leak float64 into a float32 solve (and vice versa).
+        params = jax.tree_util.tree_map(_cast_param, params)
         N = u0.shape[0]
         alphas = jnp.asarray(o.alpha, dtype)
         w_pen_max_l = jnp.asarray(o.w_pen_max_l, dtype)
