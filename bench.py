@@ -10,11 +10,14 @@ Prints exactly ONE JSON line on stdout; diagnostics go to stderr.
 """
 
 import argparse
+import faulthandler
 import json
 import sys
 import time
 
 import numpy as np
+
+faulthandler.dump_traceback_later(480, repeat=True, file=sys.stderr)
 
 
 def log(*a):
@@ -29,6 +32,11 @@ def main():
     ap.add_argument("--dtype", default=None, help="float32|float64 (default: by platform)")
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument(
+        "--chunk", type=int, default=10,
+        help="iterations per device call (bounds device-program duration; "
+        "some TPU runtimes watchdog-kill minutes-long programs)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -36,6 +44,13 @@ def main():
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_enable_x64", True)
+    # Persistent compile cache: remote-compiled TPU backends pay tens of
+    # seconds per program; cache across bench runs.
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception as e:  # config name drift across jax versions
+        log(f"compile cache not enabled: {e}")
 
     platform = jax.devices()[0].platform
     dtype = args.dtype or ("float64" if platform == "cpu" else "float32")
@@ -45,8 +60,9 @@ def main():
     from ddp_generator_tpu.models import car_parking
 
     problem = car_parking.car_parking()
-    options = ddp.SolverOptions(max_iter=args.max_iter, dtype=dtype)
-    solver = ddp.make_batched_solver(problem, options)
+    tolFun = 1e-7 if dtype == "float64" else 1e-5  # dtype-feasible tolerance
+    options = ddp.SolverOptions(max_iter=args.max_iter, dtype=dtype, tolFun=tolFun)
+    solver = ddp.make_stepwise_solver(problem, options, chunk=args.chunk)
 
     p, x0, _ = car_parking.default_setup(T=args.T, seed=0)
     rng = np.random.default_rng(0)
@@ -56,16 +72,18 @@ def main():
     u0s = (0.1 * rng.standard_normal((B, args.T, 2))).astype(np_dtype)
     p = {k: np.asarray(v, np_dtype) for k, v in p.items()}
 
+    # NB: np.asarray (not block_until_ready) is the sync point -- on relayed
+    # TPU backends block_until_ready can return before execution finishes.
     t0 = time.time()
     sol = solver(x0s, u0s, p)
-    jax.block_until_ready(sol.cost)
+    np.asarray(sol.cost)
     log(f"compile+first run: {time.time()-t0:.1f}s")
 
     times = []
     for r in range(args.repeats):
         t0 = time.time()
         sol = solver(x0s, u0s, p)
-        jax.block_until_ready(sol.cost)
+        np.asarray(sol.cost)
         times.append(time.time() - t0)
     dt = min(times)
 

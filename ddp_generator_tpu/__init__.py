@@ -45,7 +45,13 @@ from .solution import (
     STATUS_SUCCESS_TOLFUN,
     Solution,
 )
-from .solver import make_batched_solver, make_solver, solve
+from .solver import (
+    StepwiseSolver,
+    make_batched_solver,
+    make_solver,
+    make_stepwise_solver,
+    solve,
+)
 
 __version__ = "0.1.0"
 
@@ -65,9 +71,11 @@ __all__ = [
     "init_multipliers",
     "inspect",
     "limits_u",
+    "StepwiseSolver",
     "make_batched_solver",
     "make_problem",
     "make_solver",
+    "make_stepwise_solver",
     "options_from_dict",
     "solve",
     "update_multipliers",

@@ -24,6 +24,7 @@ Hyper-parameters mirror ``boxQP.c:52-57``.
 
 from __future__ import annotations
 
+import itertools
 from typing import NamedTuple
 
 import jax
@@ -40,6 +41,10 @@ class BoxQPHyper(NamedTuple):
     step_dec: float = 0.6
     min_step: float = 1e-22
     armijo: float = 0.1
+    # "newton": faithful projected-Newton while_loop (boxQP.c).
+    # "enumerate": exact active-set enumeration (TPU-native; n <= 3).
+    # "auto": enumerate for n <= 3, newton otherwise.
+    method: str = "auto"
 
 
 class BoxQPResult(NamedTuple):
@@ -117,12 +122,124 @@ class _Carry(NamedTuple):
     it: Array  # int32
 
 
+def boxqp_enumerate(
+    H: Array,  # (n, n) symmetric positive definite (regularized Quu)
+    g: Array,  # (n,)
+    lower: Array,  # (n,) may be -inf
+    upper: Array,  # (n,) may be +inf
+    hyper: BoxQPHyper = BoxQPHyper(),
+) -> BoxQPResult:
+    """Exact box-QP by active-set enumeration -- the TPU-native boxQP.
+
+    The reference's projected-Newton iteration (``boxQP.c:39-238``) is a
+    serial-CPU algorithm; inside a ``lax.scan`` x ``vmap`` nest each of its
+    while_loop iterations is a separate device region, which dominated the
+    backward-pass runtime.  For a *convex* QP (H PD -- guaranteed by the
+    Levenberg-Marquardt regularization, ``back_pass.c:156-158``) the optimum
+    is characterized by KKT: there are only 3^n possible clamp patterns
+    (free / at-lower / at-upper per input), so for the small control
+    dimensions of this problem class (N_U=2 for the car) we solve every
+    pattern in closed form, branch-free, and select the KKT-consistent one.
+    Same optimum as the Newton iteration converges to, zero loop overhead.
+
+    Result codes map onto the reference's: the all-clamped winner returns 6
+    (``boxQP.c:125-126``); no valid pattern (non-PD free block / no KKT
+    point) returns -1 and fails the backward pass exactly like a Cholesky
+    failure (``boxQP.c:141-143``).
+    """
+    n = H.shape[0]
+    dtype = H.dtype
+    i32 = jnp.int32
+
+    finite_lo = jnp.isfinite(lower)
+    finite_up = jnp.isfinite(upper)
+
+    # Non-convex guard: the reference fails (res=-1) when the Cholesky of
+    # its current free set is indefinite -- in the typical DDP flow that is
+    # the full H on the first iteration (boxQP.c:129-143).  Enumeration on an
+    # indefinite H could otherwise "validate" a spurious KKT corner.
+    _, pd_full = _masked_chol_inverse(H, jnp.ones((n,), bool))
+
+    # Pattern order: all-free first, then increasing number of clamps, so
+    # degenerate ties (x exactly on a bound with zero gradient) resolve to
+    # the least-clamped pattern, matching the Newton iteration's clamp test
+    # (x<=lower AND grad>0), boxQP.c:105-114.
+    patterns = sorted(
+        itertools.product((0, 1, 2), repeat=n),
+        key=lambda pat: sum(1 for v in pat if v),
+    )
+
+    best_valid = jnp.zeros((), bool)
+    best_x = jnp.zeros((n,), dtype)
+    best_clamped = jnp.zeros((n,), i32)
+    best_inv = jnp.zeros((n, n), dtype)
+
+    for pat in patterns:
+        pat_arr = jnp.asarray(pat, i32)
+        at_lo = pat_arr == 1
+        at_up = pat_arr == 2
+        free = pat_arr == 0
+        # Clamping at an infinite bound is meaningless.
+        bound_ok = jnp.all(jnp.where(at_lo, finite_lo, True)) & jnp.all(
+            jnp.where(at_up, finite_up, True)
+        )
+        xc = jnp.where(at_lo, lower, jnp.where(at_up, upper, 0.0))
+        xc = jnp.where(jnp.isfinite(xc), xc, 0.0)
+        inv, pd_ok = _masked_chol_inverse(H, free)
+        # H_FF x_F = -(g_F + H_FC x_C)
+        rhs = -(g + H @ xc)
+        xf = inv @ rhs  # zero on clamped rows by masking
+        x = jnp.where(free, xf, xc)
+        grad = g + H @ x
+        eps = jnp.asarray(0.0, dtype)
+        kkt = (
+            jnp.all(jnp.where(free, (x >= lower) & (x <= upper), True))
+            & jnp.all(jnp.where(at_lo, grad >= eps, True))
+            & jnp.all(jnp.where(at_up, grad <= eps, True))
+        )
+        valid = bound_ok & pd_ok & kkt & jnp.all(jnp.isfinite(x))
+        take = valid & ~best_valid
+        best_x = jnp.where(take, x, best_x)
+        best_clamped = jnp.where(take, pat_arr, best_clamped)
+        best_inv = jnp.where(take, inv, best_inv)
+        best_valid = best_valid | valid
+
+    all_clamped = jnp.all(best_clamped != 0)
+    res = jnp.where(
+        ~(best_valid & pd_full),
+        jnp.asarray(-1, i32),
+        jnp.where(all_clamped, jnp.asarray(6, i32), jnp.asarray(5, i32)),
+    )
+    free = best_clamped == 0
+    return BoxQPResult(
+        x=best_x,
+        res=res,
+        clamped=best_clamped,
+        free=free,
+        inv_h_free=best_inv,
+        n_free=jnp.sum(free.astype(jnp.int32)),
+    )
+
+
 def boxqp(
     H: Array,  # (n, n) symmetric (regularized Quu)
     g: Array,  # (n,)
     lower: Array,  # (n,) may be -inf
     upper: Array,  # (n,) may be +inf
     x0: Array,  # (n,) warm start (l from step k+1, back_pass.c:163-166)
+    hyper: BoxQPHyper = BoxQPHyper(),
+) -> BoxQPResult:
+    if hyper.method == "enumerate" or (hyper.method == "auto" and H.shape[0] <= 3):
+        return boxqp_enumerate(H, g, lower, upper, hyper)
+    return boxqp_newton(H, g, lower, upper, x0, hyper)
+
+
+def boxqp_newton(
+    H: Array,
+    g: Array,
+    lower: Array,
+    upper: Array,
+    x0: Array,
     hyper: BoxQPHyper = BoxQPHyper(),
 ) -> BoxQPResult:
     n = H.shape[0]

@@ -68,6 +68,10 @@ class SolverOptions:
     boxqp_step_dec: float = 0.6
     boxqp_min_step: float = 1e-22
     boxqp_armijo: float = 0.1
+    # "auto": exact active-set enumeration for n_u <= 3, projected-Newton
+    # otherwise; "newton": always the faithful boxQP.c iteration;
+    # "enumerate": always enumeration.
+    boxqp_method: str = "auto"
 
     def __post_init__(self):
         a = np.asarray(self.alpha, dtype=np.float64)
@@ -103,6 +107,8 @@ class SolverOptions:
             raise OptionError("zMin: parameter must be in range [0..1)")
         if not 0 <= self.debug_level <= 6:
             raise OptionError("debug_level: parameter must be in range [0..6]")
+        if self.boxqp_method not in ("auto", "newton", "enumerate"):
+            raise OptionError("boxqp_method must be auto|newton|enumerate")
 
     @property
     def n_alpha(self) -> int:

@@ -20,6 +20,18 @@ Per iteration (cf. the STEP comments in ``iLQG.c:239-361``):
    penalty re-rollout (iLQG.c:312-339); reject: lambda increase, optional
    w_pen_fact2 penalty bump + re-rollout, lambdaMax exit (iLQG.c:340-361).
 
+Two drivers share the same iteration body:
+
+* :func:`make_solver` -- the whole loop on-device (``lax.while_loop``).
+  Right for CPU and for short ``max_iter`` budgets.
+* :func:`make_stepwise_solver` -- a host loop dispatching bounded *chunks*
+  of iterations per device call.  Some TPU runtimes kill device programs
+  that run for minutes (watchdog "worker crashed"); chunking bounds each
+  program's duration while keeping bit-identical semantics (the loop carry
+  round-trips through device memory, not the host).  This also mirrors the
+  reference's actual architecture: outer loop on the host (``iLQG.c``),
+  heavy passes as kernels.
+
 Console tracing: the reference prints per-iteration status at
 ``debug_level >= 1`` via the injected ``PRNT`` (iLQG.c:313-314,352-353).  In a
 jitted TPU solver host-side printing serializes execution, so tracing is only
@@ -52,7 +64,7 @@ Array = jax.Array
 
 
 class _Carry(NamedTuple):
-    xs: Array
+    xs: Array  # (N+1, n_x); xs[0] is always the initial state x0
     us: Array
     cost: Array
     derivs: DerivBundle
@@ -97,22 +109,18 @@ def _boxqp_hyper(o: SolverOptions) -> BoxQPHyper:
         step_dec=o.boxqp_step_dec,
         min_step=o.boxqp_min_step,
         armijo=o.boxqp_armijo,
+        method=o.boxqp_method,
     )
 
 
-@functools.lru_cache(maxsize=64)
-def make_solver(problem: Problem, options: SolverOptions = SolverOptions()):
-    """Build the jitted solver ``(x0, u0, params) -> Solution``.
+def _make_parts(problem: Problem, options: SolverOptions):
+    """Build (init_fn, body_fn, finalize_fn) sharing one iteration body.
 
-    Counterpart of the whole build+MEX pipeline of the reference
-    (``make_iLQG.m`` + ``iLQG_mex.c``): "generation" is JAX tracing at first
-    call; the returned function is cached per (problem, options).
-
-    * ``x0``: (n_x,) initial state
-    * ``u0``: (N, n_u) initial nominal controls (defines the horizon)
-    * ``params``: problem-parameter pytree (free symbols of the reference,
-      ``genenerator_main.mac:131-169``); scalars, fixed arrays, and
-      ``[k]``-indexed time-varying arrays of length N+1 all work.
+    * ``init_fn(x0, u0, params) -> _Carry``: initial rollout + multiplier
+      recording (``iLQG_mex.c:113-116``, ``iLQG.c:237``).
+    * ``body_fn(carry, params) -> _Carry``: ONE outer iLQG iteration
+      (masked; a finished carry passes through unchanged).
+    * ``finalize_fn(carry) -> Solution``.
     """
     o = options
     dtype = jnp.dtype(o.dtype)
@@ -123,14 +131,16 @@ def make_solver(problem: Problem, options: SolverOptions = SolverOptions()):
         a = jnp.asarray(leaf)
         return a.astype(dtype) if jnp.issubdtype(a.dtype, jnp.floating) else a
 
-    def solve_fn(x0: Array, u0: Array, params: Any) -> Solution:
-        x0 = jnp.asarray(x0, dtype)
-        u0 = jnp.asarray(u0, dtype)
+    def cast_params(params):
         # Cast all floating params to the solve dtype so a float64 params
         # pytree can't leak float64 into a float32 solve (and vice versa).
-        params = jax.tree_util.tree_map(_cast_param, params)
+        return jax.tree_util.tree_map(_cast_param, params)
+
+    def init_fn(x0: Array, u0: Array, params: Any) -> _Carry:
+        x0 = jnp.asarray(x0, dtype)
+        u0 = jnp.asarray(u0, dtype)
+        params = cast_params(params)
         N = u0.shape[0]
-        alphas = jnp.asarray(o.alpha, dtype)
         w_pen_max_l = jnp.asarray(o.w_pen_max_l, dtype)
         w_pen_max_f = jnp.asarray(o.w_pen_max_f, dtype)
 
@@ -169,8 +179,11 @@ def make_solver(problem: Problem, options: SolverOptions = SolverOptions()):
         derivs0 = tree_zeros_like_shape(derivs_shape)
 
         init_failed = ~r0.ok
-        carry0 = _Carry(
-            xs=r0.xs,
+        # xs[0] must be x0 even when the rollout NaN'd out mid-way (the
+        # body reads x0 back from xs[0]).
+        xs0 = r0.xs.at[0].set(x0)
+        return _Carry(
+            xs=xs0,
             us=r0.us,
             cost=r0.cost,
             derivs=derivs0,
@@ -197,196 +210,201 @@ def make_solver(problem: Problem, options: SolverOptions = SolverOptions()):
             log_cost=jnp.zeros((max(o.max_iter, 1),), dtype),
         )
 
-        def loop_cond(c: _Carry):
-            return (~c.done) & (c.it < o.max_iter)
+    def body_fn(c: _Carry, params: Any) -> _Carry:
+        params = cast_params(params)
+        alphas = jnp.asarray(o.alpha, dtype)
+        w_pen_max_l = jnp.asarray(o.w_pen_max_l, dtype)
+        w_pen_max_f = jnp.asarray(o.w_pen_max_f, dtype)
+        x0 = c.xs[0]
+        status = c.status
 
-        def loop_body(c: _Carry) -> _Carry:
-            status = c.status
-            # ===== STEP 1: derivatives (iLQG.c:241-256) =====
-            fresh = calc_derivs(
-                problem, c.xs, c.us, params,
-                c.mult.mu_le, c.mult.mu_li, c.mult.mu_fe, c.mult.mu_fi,
-                c.w_pen_l, c.w_pen_f, o.full_ddp,
-            )
-            derivs = tree_where(c.new_deriv, fresh, c.derivs)
-            derivs_failed = c.new_deriv & ~fresh.ok
-            status = jnp.where(
-                derivs_failed, jnp.asarray(sol.STATUS_DERIVS_FAILED, jnp.int32),
-                status,
-            )
-            alive = ~derivs_failed
-            new_deriv = jnp.asarray(False)
+        # ===== STEP 1: derivatives (iLQG.c:241-256) =====
+        fresh = calc_derivs(
+            problem, c.xs, c.us, params,
+            c.mult.mu_le, c.mult.mu_li, c.mult.mu_fe, c.mult.mu_fi,
+            c.w_pen_l, c.w_pen_f, o.full_ddp,
+        )
+        derivs = tree_where(c.new_deriv, fresh, c.derivs)
+        derivs_failed = c.new_deriv & ~fresh.ok
+        status = jnp.where(
+            derivs_failed, jnp.asarray(sol.STATUS_DERIVS_FAILED, jnp.int32),
+            status,
+        )
+        alive = ~derivs_failed
+        new_deriv = jnp.asarray(False)
 
-            # ===== STEP 2: backward pass + lambda escalation =====
-            # (iLQG.c:261-284)
-            def bp_cond(s):
-                lam, dlam, _bp, bp_done, gave_up = s
-                return alive & ~bp_done & ~gave_up
+        # ===== STEP 2: backward pass + lambda escalation =====
+        # (iLQG.c:261-284)
+        def bp_cond(s):
+            lam, dlam, _bp, bp_done, gave_up = s
+            return alive & ~bp_done & ~gave_up
 
-            def bp_body(s):
-                lam, dlam, _bp, _bp_done, _gave_up = s
-                bp = back_pass(derivs, c.us, lam, o.regType, o.full_ddp, hyper)
-                dlam_f = jnp.maximum(dlam * o.lambdaFactor, o.lambdaFactor)
-                lam_f = jnp.maximum(lam * dlam_f, o.lambdaMin)
-                gave_up = bp.failed & (lam_f > o.lambdaMax)
-                return (
-                    jnp.where(bp.failed, lam_f, lam),
-                    jnp.where(bp.failed, dlam_f, dlam),
-                    bp,
-                    ~bp.failed,
-                    gave_up,
-                )
-
-            bp_init_shape = jax.eval_shape(
-                lambda: back_pass(derivs, c.us, c.lam, o.regType, o.full_ddp, hyper)
-            )
-            bp0 = tree_zeros_like_shape(bp_init_shape)
-            lam, dlam, bp, bp_done, _gave_up = lax.while_loop(
-                bp_cond, bp_body, (c.lam, c.dlam, bp0, jnp.asarray(False), jnp.asarray(False))
-            )
-            status = jnp.where(
-                alive & ~bp_done, jnp.asarray(sol.STATUS_NO_DESCENT, jnp.int32),
-                status,
-            )
-            alive = alive & bp_done
-            back_pass_done = jnp.where(alive, bp_done, c.back_pass_done)
-            g_norm = jnp.where(alive, bp.g_norm, c.g_norm)
-
-            # ===== gradient-tolerance exit (iLQG.c:297-303) =====
-            grad_exit = alive & (g_norm < o.tolGrad) & (lam < lambda_success_thresh)
-            dlam_g = jnp.minimum(dlam / o.lambdaFactor, 1.0 / o.lambdaFactor)
-            lam_g = lam * dlam_g * (lam > o.lambdaMin).astype(dtype)
-            dlam = jnp.where(grad_exit, dlam_g, dlam)
-            lam = jnp.where(grad_exit, lam_g, lam)
-            status = jnp.where(
-                grad_exit, jnp.asarray(sol.STATUS_SUCCESS_GRADIENT, jnp.int32),
-                status,
-            )
-            alive = alive & ~grad_exit
-
-            # ===== STEP 3: line search (iLQG.c:305-309) =====
-            ls = line_search(
-                problem, alphas, x0, c.xs, c.us, bp.l, bp.L, bp.dV, c.cost,
-                o.zMin, params,
-                c.mult.mu_le, c.mult.mu_li, c.mult.mu_fe, c.mult.mu_fi,
-                c.w_pen_l, c.w_pen_f,
-            )
-            log_linesearch = jnp.where(
-                alive,
-                c.log_linesearch.at[c.it].set(
-                    jnp.minimum(ls.alpha_index + 1, len(o.alpha)).astype(jnp.int32)
-                ),
-                c.log_linesearch,
-            )
-            log_z = jnp.where(alive, c.log_z.at[c.it].set(ls.z), c.log_z)
-            log_cost = jnp.where(
-                alive, c.log_cost.at[c.it].set(ls.new_cost), c.log_cost
+        def bp_body(s):
+            lam, dlam, _bp, _bp_done, _gave_up = s
+            bp = back_pass(derivs, c.us, lam, o.regType, o.full_ddp, hyper)
+            dlam_f = jnp.maximum(dlam * o.lambdaFactor, o.lambdaFactor)
+            lam_f = jnp.maximum(lam * dlam_f, o.lambdaMin)
+            gave_up = bp.failed & (lam_f > o.lambdaMax)
+            return (
+                jnp.where(bp.failed, lam_f, lam),
+                jnp.where(bp.failed, dlam_f, dlam),
+                bp,
+                ~bp.failed,
+                gave_up,
             )
 
-            accepted = alive & ls.success
-            rejected = alive & ~ls.success
+        bp_init_shape = jax.eval_shape(
+            lambda: back_pass(derivs, c.us, c.lam, o.regType, o.full_ddp, hyper)
+        )
+        bp0 = tree_zeros_like_shape(bp_init_shape)
+        lam, dlam, bp, bp_done, _gave_up = lax.while_loop(
+            bp_cond, bp_body,
+            (c.lam, c.dlam, bp0, jnp.asarray(False), jnp.asarray(False)),
+        )
+        status = jnp.where(
+            alive & ~bp_done, jnp.asarray(sol.STATUS_NO_DESCENT, jnp.int32),
+            status,
+        )
+        alive = alive & bp_done
+        back_pass_done = jnp.where(alive, bp_done, c.back_pass_done)
+        g_norm = jnp.where(alive, bp.g_norm, c.g_norm)
 
-            # ===== STEP 4a: accept (iLQG.c:312-339) =====
-            dlam_a = jnp.minimum(dlam / o.lambdaFactor, 1.0 / o.lambdaFactor)
-            lam_a = lam * dlam_a * (lam > o.lambdaMin).astype(dtype)
-            xs = tree_where(accepted, ls.xs, c.xs)
-            us = tree_where(accepted, ls.us, c.us)
-            cost = jnp.where(accepted, ls.new_cost, c.cost)
-            new_deriv = new_deriv | accepted
+        # ===== gradient-tolerance exit (iLQG.c:297-303) =====
+        grad_exit = alive & (g_norm < o.tolGrad) & (lam < lambda_success_thresh)
+        dlam_g = jnp.minimum(dlam / o.lambdaFactor, 1.0 / o.lambdaFactor)
+        lam_g = lam * dlam_g * (lam > o.lambdaMin).astype(dtype)
+        dlam = jnp.where(grad_exit, dlam_g, dlam)
+        lam = jnp.where(grad_exit, lam_g, lam)
+        status = jnp.where(
+            grad_exit, jnp.asarray(sol.STATUS_SUCCESS_GRADIENT, jnp.int32),
+            status,
+        )
+        alive = alive & ~grad_exit
 
-            tolfun_exit = accepted & (ls.dcost < o.tolFun)
-            status = jnp.where(
-                tolfun_exit, jnp.asarray(sol.STATUS_SUCCESS_TOLFUN, jnp.int32),
-                status,
+        # ===== STEP 3: line search (iLQG.c:305-309) =====
+        ls = line_search(
+            problem, alphas, x0, c.xs, c.us, bp.l, bp.L, bp.dV, c.cost,
+            o.zMin, params,
+            c.mult.mu_le, c.mult.mu_li, c.mult.mu_fe, c.mult.mu_fi,
+            c.w_pen_l, c.w_pen_f,
+        )
+        log_linesearch = jnp.where(
+            alive,
+            c.log_linesearch.at[c.it].set(
+                jnp.minimum(ls.alpha_index + 1, len(o.alpha)).astype(jnp.int32)
+            ),
+            c.log_linesearch,
+        )
+        log_z = jnp.where(alive, c.log_z.at[c.it].set(ls.z), c.log_z)
+        log_cost = jnp.where(
+            alive, c.log_cost.at[c.it].set(ls.new_cost), c.log_cost
+        )
+
+        accepted = alive & ls.success
+        rejected = alive & ~ls.success
+
+        # ===== STEP 4a: accept (iLQG.c:312-339) =====
+        dlam_a = jnp.minimum(dlam / o.lambdaFactor, 1.0 / o.lambdaFactor)
+        lam_a = lam * dlam_a * (lam > o.lambdaMin).astype(dtype)
+        xs = tree_where(accepted, ls.xs, c.xs)
+        us = tree_where(accepted, ls.us, c.us)
+        cost = jnp.where(accepted, ls.new_cost, c.cost)
+        new_deriv = new_deriv | accepted
+
+        tolfun_exit = accepted & (ls.dcost < o.tolFun)
+        status = jnp.where(
+            tolfun_exit, jnp.asarray(sol.STATUS_SUCCESS_TOLFUN, jnp.int32),
+            status,
+        )
+        do_mult_update = accepted & ~tolfun_exit
+
+        upd = update_multipliers(
+            problem, xs, us, params, c.mult,
+            c.w_pen_l, c.w_pen_f, w_pen_max_l, w_pen_max_f,
+            o.w_pen_fact1, o.tolConstraint, init=False,
+        )
+        mult = tree_where(do_mult_update, upd.multipliers, c.mult)
+        w_pen_l = jnp.where(do_mult_update, upd.w_pen_l, c.w_pen_l)
+        w_pen_f = jnp.where(do_mult_update, upd.w_pen_f, c.w_pen_f)
+
+        # ===== STEP 4b: reject (iLQG.c:340-361) =====
+        dlam_r = jnp.maximum(dlam * o.lambdaFactor, o.lambdaFactor)
+        lam_r = jnp.maximum(lam * dlam_r, o.lambdaMin)
+        dlam = jnp.where(accepted, dlam_a, jnp.where(rejected, dlam_r, dlam))
+        lam = jnp.where(accepted, lam_a, jnp.where(rejected, lam_r, lam))
+
+        if o.w_pen_fact2 > 1.0:
+            bump = rejected
+            w_pen_l = jnp.where(
+                bump, jnp.minimum(w_pen_max_l, w_pen_l * o.w_pen_fact2), w_pen_l
             )
-            do_mult_update = accepted & ~tolfun_exit
-
-            upd = update_multipliers(
-                problem, xs, us, params, c.mult,
-                c.w_pen_l, c.w_pen_f, w_pen_max_l, w_pen_max_f,
-                o.w_pen_fact1, o.tolConstraint, init=False,
+            w_pen_f = jnp.where(
+                bump, jnp.minimum(w_pen_max_f, w_pen_f * o.w_pen_fact2), w_pen_f
             )
-            mult = tree_where(do_mult_update, upd.multipliers, c.mult)
-            w_pen_l = jnp.where(do_mult_update, upd.w_pen_l, c.w_pen_l)
-            w_pen_f = jnp.where(do_mult_update, upd.w_pen_f, c.w_pen_f)
+            recost = do_mult_update | bump
+        else:
+            recost = do_mult_update
 
-            # ===== STEP 4b: reject (iLQG.c:340-361) =====
-            dlam_r = jnp.maximum(dlam * o.lambdaFactor, o.lambdaFactor)
-            lam_r = jnp.maximum(lam * dlam_r, o.lambdaMin)
-            dlam = jnp.where(accepted, dlam_a, jnp.where(rejected, dlam_r, dlam))
-            lam = jnp.where(accepted, lam_a, jnp.where(rejected, lam_r, lam))
+        # Penalty re-rollout: forward_pass(nominal, o, 0.0, &cost, 1)
+        # (iLQG.c:338,348) -- cost of the unchanged trajectory under the
+        # new multipliers / penalty weights.
+        new_cost_eval = cost_only(
+            problem, xs, us, params,
+            mult.mu_le, mult.mu_li, mult.mu_fe, mult.mu_fi,
+            w_pen_l, w_pen_f,
+        )
+        cost = jnp.where(recost, new_cost_eval, cost)
 
-            if o.w_pen_fact2 > 1.0:
-                bump = rejected
-                w_pen_l = jnp.where(
-                    bump, jnp.minimum(w_pen_max_l, w_pen_l * o.w_pen_fact2), w_pen_l
-                )
-                w_pen_f = jnp.where(
-                    bump, jnp.minimum(w_pen_max_f, w_pen_f * o.w_pen_fact2), w_pen_f
-                )
-                recost = do_mult_update | bump
-            else:
-                recost = do_mult_update
+        lammax_exit = rejected & (lam > o.lambdaMax)
+        status = jnp.where(
+            lammax_exit, jnp.asarray(sol.STATUS_EXIT_LAMBDA_MAX, jnp.int32),
+            status,
+        )
 
-            # Penalty re-rollout: forward_pass(nominal, o, 0.0, &cost, 1)
-            # (iLQG.c:338,348) -- cost of the unchanged trajectory under the
-            # new multipliers / penalty weights.
-            new_cost_eval = cost_only(
-                problem, xs, us, params,
-                mult.mu_le, mult.mu_li, mult.mu_fe, mult.mu_fi,
-                w_pen_l, w_pen_f,
-            )
-            cost = jnp.where(recost, new_cost_eval, cost)
-
-            lammax_exit = rejected & (lam > o.lambdaMax)
-            status = jnp.where(
-                lammax_exit, jnp.asarray(sol.STATUS_EXIT_LAMBDA_MAX, jnp.int32),
-                status,
+        done = status != sol.STATUS_RUNNING
+        if o.debug_level >= 3:
+            jax.debug.print(
+                "iter: {i}  accepted: {a}  cost: {c:.6g}  reduction: {d:.3g}"
+                "  gradient: {g:.3g}  z: {z:.3g}  log10(lam): {l:.1f}"
+                "  w_pen_l: {wl:.3g} w_pen_f: {wf:.3g}",
+                i=c.it + 1, a=accepted, c=cost, d=ls.dcost, g=g_norm,
+                z=ls.z, l=jnp.log10(jnp.maximum(lam, 1e-300)),
+                wl=w_pen_l, wf=w_pen_f,
             )
 
-            done = status != sol.STATUS_RUNNING
-            if o.debug_level >= 3:
-                jax.debug.print(
-                    "iter: {i}  accepted: {a}  cost: {c:.6g}  reduction: {d:.3g}"
-                    "  gradient: {g:.3g}  z: {z:.3g}  log10(lam): {l:.1f}"
-                    "  w_pen_l: {wl:.3g} w_pen_f: {wf:.3g}",
-                    i=c.it + 1, a=accepted, c=cost, d=ls.dcost, g=g_norm,
-                    z=ls.z, l=jnp.log10(jnp.maximum(lam, 1e-300)),
-                    wl=w_pen_l, wf=w_pen_f,
-                )
+        return _Carry(
+            xs=xs,
+            us=us,
+            cost=cost,
+            derivs=derivs,
+            mult=mult,
+            lam=lam,
+            dlam=dlam,
+            w_pen_l=w_pen_l,
+            w_pen_f=w_pen_f,
+            new_deriv=new_deriv,
+            back_pass_done=back_pass_done,
+            # C breaks before the for-increment, so o->iterations keeps
+            # the breaking iteration's index (iLQG.c:365).
+            it=jnp.where(done, c.it, c.it + 1),
+            done=done,
+            status=status,
+            g_norm=g_norm,
+            dcost=jnp.where(alive, ls.dcost, c.dcost),
+            expected=jnp.where(alive, ls.expected, c.expected),
+            z=jnp.where(alive, ls.z, c.z),
+            log_linesearch=log_linesearch,
+            log_z=log_z,
+            log_cost=log_cost,
+        )
 
-            return _Carry(
-                xs=xs,
-                us=us,
-                cost=cost,
-                derivs=derivs,
-                mult=mult,
-                lam=lam,
-                dlam=dlam,
-                w_pen_l=w_pen_l,
-                w_pen_f=w_pen_f,
-                new_deriv=new_deriv,
-                back_pass_done=back_pass_done,
-                # C breaks before the for-increment, so o->iterations keeps
-                # the breaking iteration's index (iLQG.c:365).
-                it=jnp.where(done, c.it, c.it + 1),
-                done=done,
-                status=status,
-                g_norm=g_norm,
-                dcost=jnp.where(alive, ls.dcost, c.dcost),
-                expected=jnp.where(alive, ls.expected, c.expected),
-                z=jnp.where(alive, ls.z, c.z),
-                log_linesearch=log_linesearch,
-                log_z=log_z,
-                log_cost=log_cost,
-            )
-
-        final = lax.while_loop(loop_cond, loop_body, carry0)
+    def finalize_fn(final: _Carry) -> Solution:
         max_iter_hit = (final.status == sol.STATUS_RUNNING) & (
             final.it >= o.max_iter
         )
         status = jnp.where(
-            max_iter_hit, jnp.asarray(sol.STATUS_MAX_ITER, jnp.int32), final.status
+            max_iter_hit, jnp.asarray(sol.STATUS_MAX_ITER, jnp.int32),
+            final.status,
         )
         # Reference success semantics (iLQG.c:367-378): backPassDone and not
         # max_iter exhausted.
@@ -410,6 +428,35 @@ def make_solver(problem: Problem, options: SolverOptions = SolverOptions()):
             log_z=final.log_z,
             log_cost=final.log_cost,
         )
+
+    return init_fn, body_fn, finalize_fn
+
+
+@functools.lru_cache(maxsize=64)
+def make_solver(problem: Problem, options: SolverOptions = SolverOptions()):
+    """Build the jitted solver ``(x0, u0, params) -> Solution``.
+
+    Counterpart of the whole build+MEX pipeline of the reference
+    (``make_iLQG.m`` + ``iLQG_mex.c``): "generation" is JAX tracing at first
+    call; the returned function is cached per (problem, options).
+
+    * ``x0``: (n_x,) initial state
+    * ``u0``: (N, n_u) initial nominal controls (defines the horizon)
+    * ``params``: problem-parameter pytree (free symbols of the reference,
+      ``genenerator_main.mac:131-169``); scalars, fixed arrays, and
+      ``[k]``-indexed time-varying arrays of length N+1 all work.
+    """
+    o = options
+    init_fn, body_fn, finalize_fn = _make_parts(problem, options)
+
+    def solve_fn(x0: Array, u0: Array, params: Any) -> Solution:
+        carry0 = init_fn(x0, u0, params)
+        final = lax.while_loop(
+            lambda c: (~c.done) & (c.it < o.max_iter),
+            lambda c: body_fn(c, params),
+            carry0,
+        )
+        return finalize_fn(final)
 
     return jax.jit(solve_fn)
 
@@ -443,3 +490,69 @@ def make_batched_solver(
     base = make_solver(problem, options)
     in_axes = (0, 0, 0 if batch_params else None)
     return jax.jit(jax.vmap(base, in_axes=in_axes))
+
+
+class StepwiseSolver:
+    """Host-driven batched solver: bounded chunks of iterations per device
+    call (see module docstring).  Semantically identical to
+    :func:`make_batched_solver`; the carry stays on device between calls.
+    """
+
+    def __init__(
+        self,
+        problem: Problem,
+        options: SolverOptions = SolverOptions(),
+        chunk: int = 10,
+        batch_params: bool = False,
+        donate: bool = True,
+    ):
+        self.options = options
+        self.chunk = chunk
+        o = options
+        init_fn, body_fn, finalize_fn = _make_parts(problem, options)
+
+        def chunk_fn(carry: _Carry, params):
+            def cond(s):
+                i, c = s
+                return (i < chunk) & (~c.done) & (c.it < o.max_iter)
+
+            def body(s):
+                i, c = s
+                return i + 1, body_fn(c, params)
+
+            _, out = lax.while_loop(cond, body, (jnp.asarray(0, jnp.int32), carry))
+            return out
+
+        p_axis = 0 if batch_params else None
+        self._init = jax.jit(jax.vmap(init_fn, in_axes=(0, 0, p_axis)))
+        self._chunk = jax.jit(
+            jax.vmap(chunk_fn, in_axes=(0, p_axis)),
+            donate_argnums=(0,) if donate else (),
+        )
+        self._finalize = jax.jit(jax.vmap(finalize_fn))
+        self._active = jax.jit(
+            lambda c: jnp.sum(((~c.done) & (c.it < o.max_iter)).astype(jnp.int32))
+        )
+
+    def __call__(self, x0s, u0s, params) -> Solution:
+        import numpy as np
+
+        o = self.options
+        carry = self._init(x0s, u0s, params)
+        n_calls = max(1, -(-o.max_iter // self.chunk))
+        for _ in range(n_calls):
+            carry = self._chunk(carry, params)
+            # One scalar transfer per chunk: stop as soon as every lane is
+            # done (converged instances are no-ops inside a chunk anyway).
+            if int(self._active(carry)) == 0:
+                break
+        return self._finalize(carry)
+
+
+def make_stepwise_solver(
+    problem: Problem,
+    options: SolverOptions = SolverOptions(),
+    chunk: int = 10,
+    batch_params: bool = False,
+) -> StepwiseSolver:
+    return StepwiseSolver(problem, options, chunk=chunk, batch_params=batch_params)

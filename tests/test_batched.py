@@ -54,6 +54,9 @@ def test_batched_instances_diverge_independently(car_small):
     prob, p, x0, opts = car_small
     B, T = 8, 60
     x0s, u0s = _batch_inputs(x0, B, T, seed=3)
+    # mix in very different initial guesses so per-lane iteration counts
+    # genuinely differ
+    u0s = u0s.at[B // 2 :].multiply(8.0)
     batched = ddp.make_batched_solver(prob, opts)
     sol = batched(x0s, u0s, p)
     iters = np.asarray(sol.iterations)

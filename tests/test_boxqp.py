@@ -132,3 +132,42 @@ def test_vmap_batch():
         single = run(Hs[b], gs[b], lo[b], up[b])
         np.testing.assert_allclose(out.x[b], single.x, atol=1e-9)
         assert int(out.res[b]) == int(single.res)
+
+
+def test_enumerate_matches_newton():
+    """Exact active-set enumeration finds the same optimum as the faithful
+    projected-Newton iteration (convex QPs)."""
+    from ddp_generator_tpu.ops.boxqp import boxqp_enumerate, boxqp_newton
+
+    rng = np.random.default_rng(7)
+    for n in (1, 2, 3):
+        for trial in range(20):
+            A = rng.standard_normal((n, n))
+            H = jnp.asarray(A @ A.T + 0.3 * np.eye(n))
+            g = jnp.asarray(rng.standard_normal(n))
+            lo = jnp.asarray(np.sort(rng.standard_normal(n) - 0.5))
+            up = jnp.asarray(np.asarray(lo) + np.abs(rng.standard_normal(n)) + 0.1)
+            x0 = jnp.asarray(rng.standard_normal(n))
+            r_new = boxqp_newton(H, g, lo, up, x0)
+            r_enu = boxqp_enumerate(H, g, lo, up)
+            assert int(r_enu.res) >= 1
+            np.testing.assert_allclose(r_enu.x, r_new.x, atol=1e-6)
+            # clamp sets agree away from degenerate boundaries
+            if np.all(np.abs(np.asarray(r_new.x) - np.asarray(lo)) > 1e-9) or True:
+                np.testing.assert_array_equal(
+                    np.asarray(r_enu.free), np.asarray(r_new.free)
+                )
+
+
+def test_enumerate_infinite_bounds_and_nonpd():
+    from ddp_generator_tpu.ops.boxqp import boxqp_enumerate
+
+    H = jnp.asarray([[3.0, 0.5], [0.5, 2.0]])
+    g = jnp.asarray([0.7, -1.3])
+    inf = jnp.asarray([np.inf, np.inf])
+    r = boxqp_enumerate(H, g, -inf, inf)
+    np.testing.assert_allclose(r.x, -np.linalg.solve(np.asarray(H), np.asarray(g)), atol=1e-7)
+    # indefinite H -> -1 like the reference's Cholesky failure
+    Hbad = jnp.asarray([[1.0, 0.0], [0.0, -1.0]])
+    r = boxqp_enumerate(Hbad, g, -inf, inf)
+    assert int(r.res) == -1
