@@ -32,6 +32,7 @@ def main():
     ap.add_argument("--dtype", default=None, help="float32|float64 (default: by platform)")
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument("--unroll", type=int, default=1, help="horizon scan unroll")
     ap.add_argument(
         "--chunk", type=int, default=10,
         help="iterations per device call (bounds device-program duration; "
@@ -61,7 +62,10 @@ def main():
 
     problem = car_parking.car_parking()
     tolFun = 1e-7 if dtype == "float64" else 1e-5  # dtype-feasible tolerance
-    options = ddp.SolverOptions(max_iter=args.max_iter, dtype=dtype, tolFun=tolFun)
+    options = ddp.SolverOptions(
+        max_iter=args.max_iter, dtype=dtype, tolFun=tolFun,
+        scan_unroll=args.unroll,
+    )
     solver = ddp.make_stepwise_solver(problem, options, chunk=args.chunk)
 
     p, x0, _ = car_parking.default_setup(T=args.T, seed=0)

@@ -25,6 +25,7 @@ Quick start::
 from .al import Multipliers, init_multipliers, update_multipliers
 from .inspect_api import ProblemInspector, inspect
 from .derivs import DerivBundle, calc_derivs
+from .outputs import calc_g, get_g_size, make_output_fn
 from .options import DEFAULT_ALPHA, OptionError, SolverOptions, options_from_dict
 from .problem import (
     BoxConstraint,
@@ -67,12 +68,15 @@ __all__ = [
     "SolverOptions",
     "ProblemInspector",
     "calc_derivs",
+    "calc_g",
     "clamp_u",
+    "get_g_size",
     "init_multipliers",
     "inspect",
     "limits_u",
     "StepwiseSolver",
     "make_batched_solver",
+    "make_output_fn",
     "make_problem",
     "make_solver",
     "make_stepwise_solver",

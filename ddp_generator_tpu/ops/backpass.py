@@ -66,6 +66,7 @@ def back_pass(
     reg_type: int,
     full_ddp: bool,
     hyper: BoxQPHyper = BoxQPHyper(),
+    unroll: int = 1,
 ) -> BackPassResult:
     sd = derivs.step
     N, n_u = us.shape
@@ -160,7 +161,7 @@ def back_pass(
         jnp.zeros((), bool),
     )
     (Vx, Vxx, _l, dV, g_sum, failed), (ls, Ls) = lax.scan(
-        body, init, xs_in, reverse=True
+        body, init, xs_in, reverse=True, unroll=unroll
     )
     g_norm = g_sum / jnp.asarray(N - 1, dtype)
     return BackPassResult(l=ls, L=Ls, dV=dV, g_norm=g_norm, failed=failed)

@@ -58,6 +58,7 @@ def forward_pass(
     mu_fi: Array,
     w_pen_l: Array,
     w_pen_f: Array,
+    unroll: int = 1,
 ) -> Rollout:
     N = us_nom.shape[0]
     dtype = us_nom.dtype
@@ -78,7 +79,8 @@ def forward_pass(
     ks = jnp.arange(N)
     init = (x0.astype(dtype), jnp.zeros((), dtype), jnp.asarray(True))
     (x_final, csum, ok), (xs, us, _cs) = lax.scan(
-        body, init, (ks, xs_nom[:N], us_nom, l, L_gain, mu_le, mu_li)
+        body, init, (ks, xs_nom[:N], us_nom, l, L_gain, mu_le, mu_li),
+        unroll=unroll,
     )
     kf = jnp.asarray(N, jnp.int32)
     cf = augmented_F(problem, x_final, p, kf, mu_fe, mu_fi, w_pen_f)

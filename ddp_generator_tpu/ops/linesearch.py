@@ -55,13 +55,14 @@ def line_search(
     mu_fi: Array,
     w_pen_l: Array,
     w_pen_f: Array,
+    unroll: int = 1,
 ) -> LineSearchResult:
     n_alpha = alphas.shape[0]
 
     def try_alpha(alpha):
         return forward_pass(
             problem, x0, xs_nom, us_nom, l, L_gain, alpha, p,
-            mu_le, mu_li, mu_fe, mu_fi, w_pen_l, w_pen_f,
+            mu_le, mu_li, mu_fe, mu_fi, w_pen_l, w_pen_f, unroll=unroll,
         )
 
     rollouts = jax.vmap(try_alpha)(alphas)

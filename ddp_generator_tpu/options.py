@@ -72,6 +72,9 @@ class SolverOptions:
     # otherwise; "newton": always the faithful boxQP.c iteration;
     # "enumerate": always enumeration.
     boxqp_method: str = "auto"
+    # lax.scan unroll factor for the horizon sweeps (rollout + backward
+    # pass); >1 trades compile time for less loop overhead on TPU.
+    scan_unroll: int = 1
 
     def __post_init__(self):
         a = np.asarray(self.alpha, dtype=np.float64)

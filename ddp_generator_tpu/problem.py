@@ -96,6 +96,9 @@ class Problem:
     hfe: tuple[FinalConstraintFn, ...] = ()
     hfi: tuple[FinalConstraintFn, ...] = ()
     name: str = "problem"
+    # Optional user-output function g(x, u, p, k) -> (n_g,) evaluated along
+    # trajectories (reference calcG/get_g_size, iLQG_func.tem:511-521).
+    g: Optional[Callable] = None
     # Filled by analysis (tuple of BoxConstraint, same order as h).
     box_constraints: tuple[BoxConstraint, ...] = ()
 
@@ -247,6 +250,7 @@ def make_problem(
     example_params: Any = None,
     validate: bool = True,
     box_meta: Optional[Sequence[tuple[int, float]]] = None,
+    g: Optional[Callable] = None,
 ) -> Problem:
     """Build and validate a :class:`Problem`.
 
@@ -274,6 +278,7 @@ def make_problem(
         hfe=tuple(hfe),
         hfi=tuple(hfi),
         name=name,
+        g=g,
     )
     if validate:
         _validate_shapes(problem, example_params)

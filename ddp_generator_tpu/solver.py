@@ -156,7 +156,7 @@ def _make_parts(problem: Problem, options: SolverOptions):
             problem, x0, xs_dummy, u0, zeros_l, zeros_L,
             jnp.zeros((), dtype), params,
             mult0.mu_le, mult0.mu_li, mult0.mu_fe, mult0.mu_fi,
-            w_pen_l0, w_pen_f0,
+            w_pen_l0, w_pen_f0, unroll=o.scan_unroll,
         )
 
         # update_multipliers(o, 1): record last_h along the initial
@@ -241,7 +241,8 @@ def _make_parts(problem: Problem, options: SolverOptions):
 
         def bp_body(s):
             lam, dlam, _bp, _bp_done, _gave_up = s
-            bp = back_pass(derivs, c.us, lam, o.regType, o.full_ddp, hyper)
+            bp = back_pass(derivs, c.us, lam, o.regType, o.full_ddp, hyper,
+                           unroll=o.scan_unroll)
             dlam_f = jnp.maximum(dlam * o.lambdaFactor, o.lambdaFactor)
             lam_f = jnp.maximum(lam * dlam_f, o.lambdaMin)
             gave_up = bp.failed & (lam_f > o.lambdaMax)
@@ -254,7 +255,8 @@ def _make_parts(problem: Problem, options: SolverOptions):
             )
 
         bp_init_shape = jax.eval_shape(
-            lambda: back_pass(derivs, c.us, c.lam, o.regType, o.full_ddp, hyper)
+            lambda: back_pass(derivs, c.us, c.lam, o.regType, o.full_ddp,
+                              hyper, unroll=o.scan_unroll)
         )
         bp0 = tree_zeros_like_shape(bp_init_shape)
         lam, dlam, bp, bp_done, _gave_up = lax.while_loop(
@@ -286,7 +288,7 @@ def _make_parts(problem: Problem, options: SolverOptions):
             problem, alphas, x0, c.xs, c.us, bp.l, bp.L, bp.dV, c.cost,
             o.zMin, params,
             c.mult.mu_le, c.mult.mu_li, c.mult.mu_fe, c.mult.mu_fi,
-            c.w_pen_l, c.w_pen_f,
+            c.w_pen_l, c.w_pen_f, unroll=o.scan_unroll,
         )
         log_linesearch = jnp.where(
             alive,
