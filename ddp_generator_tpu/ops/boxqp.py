@@ -45,6 +45,9 @@ class BoxQPHyper(NamedTuple):
     # "enumerate": exact active-set enumeration (TPU-native; n <= 3).
     # "auto": enumerate for n <= 3, newton otherwise.
     method: str = "auto"
+    # MOD_CHOL (boxQP.c:69-72, off by default like the reference):
+    # precondition an indefinite H by the Schnabel-Eskow perturbation.
+    use_mod_chol: bool = False
 
 
 class BoxQPResult(NamedTuple):
@@ -229,6 +232,12 @@ def boxqp(
     x0: Array,  # (n,) warm start (l from step k+1, back_pass.c:163-166)
     hyper: BoxQPHyper = BoxQPHyper(),
 ) -> BoxQPResult:
+    if hyper.use_mod_chol:
+        # MOD_CHOL pre-regularization (boxQP.c:69-72): replace an indefinite
+        # H by its Schnabel-Eskow PSD perturbation before solving.
+        from .chol import mod_chol_perturb
+
+        H, _ = mod_chol_perturb(H)
     if hyper.method == "enumerate" or (hyper.method == "auto" and H.shape[0] <= 3):
         return boxqp_enumerate(H, g, lower, upper, hyper)
     return boxqp_newton(H, g, lower, upper, x0, hyper)

@@ -75,6 +75,10 @@ class SolverOptions:
     # lax.scan unroll factor for the horizon sweeps (rollout + backward
     # pass); >1 trades compile time for less loop overhead on TPU.
     scan_unroll: int = 1
+    # MOD_CHOL (reference boxQP.c:69-72, cholesky.c:129-287): experimental
+    # Schnabel-Eskow pre-regularization of Quu inside boxQP; off by default
+    # exactly like the reference compile flag.
+    use_mod_chol: bool = False
 
     def __post_init__(self):
         a = np.asarray(self.alpha, dtype=np.float64)

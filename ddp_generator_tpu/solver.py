@@ -110,6 +110,7 @@ def _boxqp_hyper(o: SolverOptions) -> BoxQPHyper:
         min_step=o.boxqp_min_step,
         armijo=o.boxqp_armijo,
         method=o.boxqp_method,
+        use_mod_chol=o.use_mod_chol,
     )
 
 
