@@ -72,6 +72,10 @@ class SolverOptions:
     # otherwise; "newton": always the faithful boxQP.c iteration;
     # "enumerate": always enumeration.
     boxqp_method: str = "auto"
+    # "serial": reverse-scan Riccati recursion (reference semantics);
+    # "parallel": O(log N)-depth associative-scan Riccati (unconstrained
+    # problems with full_ddp=False only; see ops/parallel_riccati.py).
+    backpass_method: str = "serial"
     # lax.scan unroll factor for the horizon sweeps (rollout + backward
     # pass); >1 trades compile time for less loop overhead on TPU.
     scan_unroll: int = 1
@@ -116,6 +120,8 @@ class SolverOptions:
             raise OptionError("debug_level: parameter must be in range [0..6]")
         if self.boxqp_method not in ("auto", "newton", "enumerate"):
             raise OptionError("boxqp_method must be auto|newton|enumerate")
+        if self.backpass_method not in ("serial", "parallel"):
+            raise OptionError("backpass_method must be serial|parallel")
 
     @property
     def n_alpha(self) -> int:

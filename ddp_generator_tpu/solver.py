@@ -137,6 +137,31 @@ def _make_parts(problem: Problem, options: SolverOptions):
         # pytree can't leak float64 into a float32 solve (and vice versa).
         return jax.tree_util.tree_map(_cast_param, params)
 
+    if o.backpass_method == "parallel":
+        from .ops.parallel_riccati import parallel_back_pass
+
+        if problem.n_h > 0:
+            raise ValueError(
+                "backpass_method='parallel' requires an unconstrained "
+                "problem (no h constraints): boxQP clamping is a per-step "
+                "nonlinearity that breaks the associative-scan formulation"
+            )
+        if o.full_ddp:
+            raise ValueError(
+                "backpass_method='parallel' requires full_ddp=False (the "
+                "FULL_DDP tensor terms couple the stage cost to the "
+                "downstream Vx)"
+            )
+
+        def _run_back_pass(derivs, us, lam, hyper):
+            return parallel_back_pass(derivs, us, lam, o.regType, hyper)
+
+    else:
+
+        def _run_back_pass(derivs, us, lam, hyper):
+            return back_pass(derivs, us, lam, o.regType, o.full_ddp, hyper,
+                             unroll=o.scan_unroll)
+
     def init_fn(x0: Array, u0: Array, params: Any) -> _Carry:
         x0 = jnp.asarray(x0, dtype)
         u0 = jnp.asarray(u0, dtype)
@@ -235,41 +260,26 @@ def _make_parts(problem: Problem, options: SolverOptions):
         new_deriv = jnp.asarray(False)
 
         # ===== STEP 2: backward pass + lambda escalation =====
-        # (iLQG.c:261-284)
-        def bp_cond(s):
-            lam, dlam, _bp, bp_done, gave_up = s
-            return alive & ~bp_done & ~gave_up
-
-        def bp_body(s):
-            lam, dlam, _bp, _bp_done, _gave_up = s
-            bp = back_pass(derivs, c.us, lam, o.regType, o.full_ddp, hyper,
-                           unroll=o.scan_unroll)
-            dlam_f = jnp.maximum(dlam * o.lambdaFactor, o.lambdaFactor)
-            lam_f = jnp.maximum(lam * dlam_f, o.lambdaMin)
-            gave_up = bp.failed & (lam_f > o.lambdaMax)
-            return (
-                jnp.where(bp.failed, lam_f, lam),
-                jnp.where(bp.failed, dlam_f, dlam),
-                bp,
-                ~bp.failed,
-                gave_up,
-            )
-
-        bp_init_shape = jax.eval_shape(
-            lambda: back_pass(derivs, c.us, c.lam, o.regType, o.full_ddp,
-                              hyper, unroll=o.scan_unroll)
-        )
-        bp0 = tree_zeros_like_shape(bp_init_shape)
-        lam, dlam, bp, bp_done, _gave_up = lax.while_loop(
-            bp_cond, bp_body,
-            (c.lam, c.dlam, bp0, jnp.asarray(False), jnp.asarray(False)),
-        )
+        # (iLQG.c:261-284).  ONE attempt per body call: a failed pass
+        # escalates lambda and the lane simply retries on the next call
+        # WITHOUT advancing its iteration counter -- per lane this produces
+        # the exact (lambda, back-pass) attempt sequence of the reference's
+        # inner retry while, but under vmap it avoids re-running the whole
+        # backward scan for every lane whenever ANY lane fails (the retry
+        # count of a batch is the max over lanes, not the sum).
+        bp = _run_back_pass(derivs, c.us, c.lam, hyper)
+        dlam_f = jnp.maximum(c.dlam * o.lambdaFactor, o.lambdaFactor)
+        lam_f = jnp.maximum(c.lam * dlam_f, o.lambdaMin)
+        bp_failed = alive & bp.failed
+        gave_up = bp_failed & (lam_f > o.lambdaMax)
+        retrying = bp_failed & ~gave_up
+        lam = jnp.where(bp_failed, lam_f, c.lam)
+        dlam = jnp.where(bp_failed, dlam_f, c.dlam)
         status = jnp.where(
-            alive & ~bp_done, jnp.asarray(sol.STATUS_NO_DESCENT, jnp.int32),
-            status,
+            gave_up, jnp.asarray(sol.STATUS_NO_DESCENT, jnp.int32), status
         )
-        alive = alive & bp_done
-        back_pass_done = jnp.where(alive, bp_done, c.back_pass_done)
+        alive = alive & ~bp_failed
+        back_pass_done = jnp.where(alive, jnp.asarray(True), c.back_pass_done)
         g_norm = jnp.where(alive, bp.g_norm, c.g_norm)
 
         # ===== gradient-tolerance exit (iLQG.c:297-303) =====
@@ -365,6 +375,7 @@ def _make_parts(problem: Problem, options: SolverOptions):
         )
 
         done = status != sol.STATUS_RUNNING
+        halt = done | retrying
         if o.debug_level >= 3:
             jax.debug.print(
                 "iter: {i}  accepted: {a}  cost: {c:.6g}  reduction: {d:.3g}"
@@ -388,8 +399,10 @@ def _make_parts(problem: Problem, options: SolverOptions):
             new_deriv=new_deriv,
             back_pass_done=back_pass_done,
             # C breaks before the for-increment, so o->iterations keeps
-            # the breaking iteration's index (iLQG.c:365).
-            it=jnp.where(done, c.it, c.it + 1),
+            # the breaking iteration's index (iLQG.c:365); a lambda-retry
+            # does not consume an iteration (it re-enters the reference's
+            # inner while, iLQG.c:261).
+            it=jnp.where(halt, c.it, c.it + 1),
             done=done,
             status=status,
             g_norm=g_norm,
@@ -542,7 +555,11 @@ class StepwiseSolver:
 
         o = self.options
         carry = self._init(x0s, u0s, params)
-        n_calls = max(1, -(-o.max_iter // self.chunk))
+        # Lambda-escalation retries do not advance iteration counters, so a
+        # chunk may execute fewer than `chunk` counted iterations; loop on
+        # the active count with a generous hard cap (a full escalation from
+        # lambdaMin to lambdaMax takes < 40 attempts at the default factor).
+        n_calls = max(1, -(-o.max_iter * 40 // self.chunk))
         for _ in range(n_calls):
             carry = self._chunk(carry, params)
             # One scalar transfer per chunk: stop as soon as every lane is
