@@ -74,7 +74,10 @@ class SolverOptions:
     boxqp_method: str = "auto"
     # "serial": reverse-scan Riccati recursion (reference semantics);
     # "parallel": O(log N)-depth associative-scan Riccati (unconstrained
-    # problems with full_ddp=False only; see ops/parallel_riccati.py).
+    # problems with full_ddp=False only; see ops/parallel_riccati.py);
+    # "pallas": the whole backward pass as one fused TPU kernel for batched
+    # solves (n_u <= 3; see ops/pallas_backpass.py) -- falls back to
+    # "serial" for unbatched calls.
     backpass_method: str = "serial"
     # lax.scan unroll factor for the horizon sweeps (rollout + backward
     # pass); >1 trades compile time for less loop overhead on TPU.
@@ -120,8 +123,10 @@ class SolverOptions:
             raise OptionError("debug_level: parameter must be in range [0..6]")
         if self.boxqp_method not in ("auto", "newton", "enumerate"):
             raise OptionError("boxqp_method must be auto|newton|enumerate")
-        if self.backpass_method not in ("serial", "parallel"):
-            raise OptionError("backpass_method must be serial|parallel")
+        if self.backpass_method not in ("serial", "parallel", "pallas"):
+            raise OptionError(
+                "backpass_method must be serial|parallel|pallas"
+            )
 
     @property
     def n_alpha(self) -> int:

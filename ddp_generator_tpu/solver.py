@@ -137,7 +137,43 @@ def _make_parts(problem: Problem, options: SolverOptions):
         # pytree can't leak float64 into a float32 solve (and vice versa).
         return jax.tree_util.tree_map(_cast_param, params)
 
-    if o.backpass_method == "parallel":
+    if o.backpass_method == "pallas":
+        from jax import custom_batching
+
+        from .ops.pallas_backpass import batched_back_pass_pallas
+
+        if problem.n_u > 3:
+            raise ValueError("backpass_method='pallas' supports n_u <= 3")
+        # Interpret the kernel off-TPU so the pallas path is testable on CPU.
+        _interp = jax.default_backend() != "tpu"
+
+        @custom_batching.custom_vmap
+        def _run_back_pass_cv(derivs, us, lam):
+            return back_pass(derivs, us, lam, o.regType, o.full_ddp, hyper,
+                             unroll=o.scan_unroll)
+
+        @_run_back_pass_cv.def_vmap
+        def _bp_vmap_rule(axis_size, in_batched, derivs, us, lam):
+            # custom_vmap passes operands that were constant across lanes
+            # unbatched; broadcast them so the kernel sees uniform (B, ...)
+            def bc(x, b):
+                return x if b else jnp.broadcast_to(
+                    x[None], (axis_size,) + jnp.shape(x)
+                )
+
+            derivs, us, lam = jax.tree_util.tree_map(
+                bc, [derivs, us, lam], in_batched
+            )
+            out = batched_back_pass_pallas(
+                derivs, us, lam, o.regType, o.full_ddp, interpret=_interp
+            )
+            out_batched = jax.tree_util.tree_map(lambda _: True, out)
+            return out, out_batched
+
+        def _run_back_pass(derivs, us, lam, hyper_):
+            return _run_back_pass_cv(derivs, us, lam)
+
+    elif o.backpass_method == "parallel":
         from .ops.parallel_riccati import parallel_back_pass
 
         if problem.n_h > 0:
