@@ -34,6 +34,10 @@ def main():
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     ap.add_argument("--unroll", type=int, default=1, help="horizon scan unroll")
     ap.add_argument(
+        "--backpass", default="serial", choices=["serial", "pallas"],
+        help="backward-pass implementation (see SolverOptions.backpass_method)",
+    )
+    ap.add_argument(
         "--chunk", type=int, default=10,
         help="iterations per device call (bounds device-program duration; "
         "some TPU runtimes watchdog-kill minutes-long programs)",
@@ -64,7 +68,7 @@ def main():
     tolFun = 1e-7 if dtype == "float64" else 1e-5  # dtype-feasible tolerance
     options = ddp.SolverOptions(
         max_iter=args.max_iter, dtype=dtype, tolFun=tolFun,
-        scan_unroll=args.unroll,
+        scan_unroll=args.unroll, backpass_method=args.backpass,
     )
     solver = ddp.make_stepwise_solver(problem, options, chunk=args.chunk)
 

@@ -11,34 +11,36 @@ reverse recursion inside one ``pallas_call``:
   ``Vx``/``Vxx``/``l``/``dV``/... across steps);
 * per-step derivative blocks stream HBM -> VMEM through the implicit
   pallas pipeline (double-buffered by construction);
-* the batch dimension B lies along the VPU lanes: every quantity is a
-  ``(B,)`` vector and the tiny state/control contractions are unrolled
-  Python loops over (n_x, n_u) -- exactly the "per-chip parallelism comes
-  from batching small matrices" design of SURVEY.md section 2;
+* **component-major layout**: every per-step quantity is stored
+  ``(N, C, B)`` with the flattened tiny matrix index C on sublanes and the
+  instance batch B on the 128-wide vector lanes, so each scalar component
+  of the recursion is a full-width ``(B,)`` lane vector and the tiny
+  state/control contractions are unrolled Python loops over (n_x, n_u) --
+  exactly the "per-chip parallelism comes from batching small matrices"
+  design of SURVEY.md section 2.  (A ``(N, B, n_x, n_x)`` layout would put
+  the 4x4 on the (8,128) vector tile and waste ~98% of every op.)
 * boxQP is the exact active-set enumeration (see ``boxqp.boxqp_enumerate``)
-  with the 3^n_u patterns unrolled branch-free.
+  with the 3^n_u patterns unrolled branch-free.  Persistent masks are kept
+  as float 0/1 vectors (Mosaic rejects some i1 vector materializations:
+  "Unsupported target bitwidth for truncation").
 
 Numerics follow ``back_pass.c`` exactly like the scan implementation:
 regType 1/2 regularization, clamped-gain assembly through the
 state-dependent constraint boundary, UNregularized Quu/Qxu in the value
 update, dV accumulation and the ``/(n_hor-1)`` g_norm divisor.
 
-Layout: inputs are time-major ``(N, B, ...)`` so each grid step's block is
-a contiguous slab.  ``batched_back_pass`` (bottom) adapts the solver's
-batch-major derivative bundle and is used through ``custom_vmap`` so the
-per-instance solver code keeps its serial-scan path.
+``batched_back_pass_pallas`` (bottom) adapts the solver's batch-major
+derivative bundle and is used through ``custom_vmap`` so the per-instance
+solver code keeps its serial-scan path.
 """
 
 from __future__ import annotations
 
 import functools
 import itertools
-from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
-from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -57,7 +59,7 @@ def _patterns(n_u: int):
 
 def _sym_solve_small(H, rhs, free, n):
     """Masked free-set solve via closed-form inverse; H, rhs are dicts of
-    (B,) vectors: H[(i,j)], rhs[i].  Returns (x dict, pd_ok (B,), inv dict).
+    (B,) vectors: H[(i,j)], rhs[i].  Returns (x dict, pd_ok (B,), inv fn).
 
     free: tuple of static bools per index (the clamp pattern).
     """
@@ -116,7 +118,7 @@ def _make_kernel(n_x: int, n_u: int, reg_type: int, full_ddp: bool, N: int):
     NX, NU = n_x, n_u
 
     def kernel(
-        # inputs (per-step blocks, shape (1, B, ...)); FULL_DDP tensor refs
+        # inputs (per-step blocks, shape (1, C, B)); FULL_DDP tensor refs
         # present only when full_ddp:
         *refs,
     ):
@@ -150,17 +152,22 @@ def _make_kernel(n_x: int, n_u: int, reg_type: int, full_ddp: bool, N: int):
             g_s[...] = jnp.zeros_like(g_s)
             fail_s[...] = jnp.zeros_like(fail_s)
 
-        lam = lam_ref[...]
-        Vx = [vx_s[:, a] for a in range(NX)]
-        Vxx = [[vxx_s[:, a, b] for b in range(NX)] for a in range(NX)]
+        # Flattened component index helpers (row-major over the tiny dims).
+        XX = lambda a, b: a * NX + b  # (n_x, n_x)
+        XU = lambda a, b: a * NU + b  # (n_x, n_u)
+        UU = lambda a, b: a * NU + b  # (n_u, n_u)
 
-        fx = [[fx_ref[0, :, a, b] for b in range(NX)] for a in range(NX)]
-        fu = [[fu_ref[0, :, a, b] for b in range(NU)] for a in range(NX)]
-        cx = [cx_ref[0, :, a] for a in range(NX)]
-        cu = [cu_ref[0, :, a] for a in range(NU)]
-        cxx = [[cxx_ref[0, :, a, b] for b in range(NX)] for a in range(NX)]
-        cuu = [[cuu_ref[0, :, a, b] for b in range(NU)] for a in range(NU)]
-        cxu = [[cxu_ref[0, :, a, b] for b in range(NU)] for a in range(NX)]
+        lam = lam_ref[0, :]
+        Vx = [vx_s[a, :] for a in range(NX)]
+        Vxx = [[vxx_s[XX(a, b), :] for b in range(NX)] for a in range(NX)]
+
+        fx = [[fx_ref[0, XX(a, b), :] for b in range(NX)] for a in range(NX)]
+        fu = [[fu_ref[0, XU(a, b), :] for b in range(NU)] for a in range(NX)]
+        cx = [cx_ref[0, a, :] for a in range(NX)]
+        cu = [cu_ref[0, a, :] for a in range(NU)]
+        cxx = [[cxx_ref[0, XX(a, b), :] for b in range(NX)] for a in range(NX)]
+        cuu = [[cuu_ref[0, UU(a, b), :] for b in range(NU)] for a in range(NU)]
+        cxu = [[cxu_ref[0, XU(a, b), :] for b in range(NU)] for a in range(NX)]
 
         # Q builds (back_pass.c:80-131)
         # Vxx @ fx and Vxx @ fu
@@ -177,20 +184,24 @@ def _make_kernel(n_x: int, n_u: int, reg_type: int, full_ddp: bool, N: int):
         Qxx = [[cxx[a][b] + sum(fx[i_][a] * vfx[i_][b] for i_ in range(NX))
                 for b in range(NX)] for a in range(NX)]
         if full_ddp:
+            # flattened (i, a, b) row-major indices into the C axis
             for a in range(NX):
                 for b in range(NU):
                     Qxu[a][b] = Qxu[a][b] + sum(
-                        Vx[i_] * fxu_ref[0, :, i_, a, b] for i_ in range(NX)
+                        Vx[i_] * fxu_ref[0, (i_ * NX + a) * NU + b, :]
+                        for i_ in range(NX)
                     )
             for a in range(NU):
                 for b in range(NU):
                     Quu[a][b] = Quu[a][b] + sum(
-                        Vx[i_] * fuu_ref[0, :, i_, a, b] for i_ in range(NX)
+                        Vx[i_] * fuu_ref[0, (i_ * NU + a) * NU + b, :]
+                        for i_ in range(NX)
                     )
             for a in range(NX):
                 for b in range(NX):
                     Qxx[a][b] = Qxx[a][b] + sum(
-                        Vx[i_] * fxx_ref[0, :, i_, a, b] for i_ in range(NX)
+                        Vx[i_] * fxx_ref[0, (i_ * NX + a) * NX + b, :]
+                        for i_ in range(NX)
                     )
 
         # regularization (back_pass.c:133-159)
@@ -200,24 +211,26 @@ def _make_kernel(n_x: int, n_u: int, reg_type: int, full_ddp: bool, N: int):
             Qxu_reg = [[Qxu[a][b] + lam * sum(fx[i_][a] * fu[i_][b] for i_ in range(NX))
                         for b in range(NU)] for a in range(NX)]
         else:
-            QuuF = [[Quu[a][b] + jnp.where(a == b, lam, jnp.zeros_like(lam))
+            QuuF = [[Quu[a][b] + lam if a == b else Quu[a][b]
                      for b in range(NU)] for a in range(NU)]
             Qxu_reg = Qxu
 
-        lower = [lower_ref[0, :, a] for a in range(NU)]
-        upper = [upper_ref[0, :, a] for a in range(NU)]
+        lower = [lower_ref[0, a, :] for a in range(NU)]
+        upper = [upper_ref[0, a, :] for a in range(NU)]
         finite_lo = [jnp.isfinite(lower[a]) for a in range(NU)]
         finite_up = [jnp.isfinite(upper[a]) for a in range(NU)]
         Hd = {(a, b): QuuF[a][b] for a in range(NU) for b in range(a, NU)}
 
         zeros = jnp.zeros_like(Qu[0])
+        ones = jnp.ones_like(zeros)
         # full-H PD gate (boxqp_enumerate)
         _, pd_full, _ = _sym_solve_small(Hd, Qu, tuple([True] * NU), NU)
 
-        best_valid = zeros > 1.0  # False
+        # Persistent selection state as float 0/1 masks (see module doc).
+        best_valid = zeros  # 0/1
         best_x = [zeros for _ in range(NU)]
-        best_cl_lo = [best_valid for _ in range(NU)]
-        best_cl_up = [best_valid for _ in range(NU)]
+        best_cl_lo = [zeros for _ in range(NU)]
+        best_cl_up = [zeros for _ in range(NU)]
         best_inv = {(a, b): zeros for a in range(NU) for b in range(NU)}
 
         for pat in pats:
@@ -238,8 +251,6 @@ def _make_kernel(n_x: int, n_u: int, reg_type: int, full_ddp: bool, N: int):
                     xc.append(zeros)
                 if ok_a is not None:
                     bound_ok = ok_a if bound_ok is None else (bound_ok & ok_a)
-            if bound_ok is None:
-                bound_ok = zeros == zeros  # all-True vector
 
             # rhs = -(g + H xc) (full), solve on free block
             Hxc = [
@@ -253,7 +264,7 @@ def _make_kernel(n_x: int, n_u: int, reg_type: int, full_ddp: bool, N: int):
                 Qu[a] + sum(Hd[(min(a, b), max(a, b))] * x[b] for b in range(NU))
                 for a in range(NU)
             ]
-            kkt = bound_ok & pd_ok
+            kkt = pd_ok if bound_ok is None else (bound_ok & pd_ok)
             for a in range(NU):
                 if free[a]:
                     kkt = kkt & (x[a] >= lower[a]) & (x[a] <= upper[a])
@@ -261,25 +272,26 @@ def _make_kernel(n_x: int, n_u: int, reg_type: int, full_ddp: bool, N: int):
                     kkt = kkt & (grad[a] >= 0.0)
                 else:
                     kkt = kkt & (grad[a] <= 0.0)
-            valid = kkt
-            take = valid & ~best_valid
+            take = jnp.where(kkt, 1.0 - best_valid, zeros)  # 0/1 float
             for a in range(NU):
-                best_x[a] = jnp.where(take, x[a], best_x[a])
-                best_cl_lo[a] = jnp.where(take, at_lo[a], best_cl_lo[a])
-                best_cl_up[a] = jnp.where(take, at_up[a], best_cl_up[a])
+                best_x[a] = best_x[a] + take * (x[a] - best_x[a])
+                if at_lo[a]:
+                    best_cl_lo[a] = best_cl_lo[a] + take * (ones - best_cl_lo[a])
+                if at_up[a]:
+                    best_cl_up[a] = best_cl_up[a] + take * (ones - best_cl_up[a])
                 for b in range(NU):
-                    best_inv[(a, b)] = jnp.where(take, iv(a, b), best_inv[(a, b)])
-            best_valid = best_valid | valid
+                    best_inv[(a, b)] = best_inv[(a, b)] + take * (
+                        iv(a, b) - best_inv[(a, b)]
+                    )
+            best_valid = best_valid + take
 
-        step_failed = ~(best_valid & pd_full)
+        step_failed_f = jnp.where(pd_full, ones - best_valid, ones)  # 0/1
         l_k = best_x
 
         # D[j,:] = sign_j * hx_j for clamped j (back_pass.c:193-199)
-        D = [[jnp.where(best_cl_lo[a],
-                        lo_s_ref[0, :, a] * lo_hx_ref[0, :, a, b],
-                        jnp.where(best_cl_up[a],
-                                  up_s_ref[0, :, a] * up_hx_ref[0, :, a, b],
-                                  zeros))
+        # lower_hx/upper_hx are (n_u, n_x) row-major on the component axis.
+        D = [[best_cl_lo[a] * lo_s_ref[0, a, :] * lo_hx_ref[0, a * NX + b, :]
+              + best_cl_up[a] * up_s_ref[0, a, :] * up_hx_ref[0, a * NX + b, :]
               for b in range(NX)] for a in range(NU)]
 
         # L = -invH (Qxu_reg^T - QuuF D) - D
@@ -315,112 +327,113 @@ def _make_kernel(n_x: int, n_u: int, reg_type: int, full_ddp: bool, N: int):
                    for a in range(NX)]
 
         # g_norm contribution: max_a |l_a| / (|u_a|+1) (back_pass.c:244-251)
-        g_k = jnp.abs(l_k[0]) / (jnp.abs(u_ref[0, :, 0]) + 1.0)
+        g_k = jnp.abs(l_k[0]) / (jnp.abs(u_ref[0, 0, :]) + 1.0)
         for a in range(1, NU):
-            g_k = jnp.maximum(g_k, jnp.abs(l_k[a]) / (jnp.abs(u_ref[0, :, a]) + 1.0))
+            g_k = jnp.maximum(g_k, jnp.abs(l_k[a]) / (jnp.abs(u_ref[0, a, :]) + 1.0))
 
-        dead = (fail_s[...] > 0.0) | step_failed
+        # live = 1 while no step has failed yet (freeze after failure)
+        fail_now = jnp.minimum(fail_s[0, :] + step_failed_f, 1.0)
+        live = 1.0 - fail_now
 
         # write per-step outputs (zero once failed, like the scan version)
         for a in range(NU):
-            l_ref[0, :, a] = jnp.where(dead, zeros, l_k[a])
+            l_ref[0, a, :] = live * l_k[a]
             for b in range(NX):
-                L_ref[0, :, a, b] = jnp.where(dead, zeros, L_k[a][b])
+                L_ref[0, a * NX + b, :] = live * L_k[a][b]
 
         # carry updates (freeze after failure)
-        keep = lambda new, old: jnp.where(dead, old, new)
         for a in range(NX):
-            vx_s[:, a] = keep(Vx_new[a], vx_s[:, a])
+            vx_s[a, :] = vx_s[a, :] + live * (Vx_new[a] - vx_s[a, :])
             for b in range(NX):
-                vxx_s[:, a, b] = keep(Vxx_new[a][b], vxx_s[:, a, b])
+                vxx_s[XX(a, b), :] = vxx_s[XX(a, b), :] + live * (
+                    Vxx_new[a][b] - vxx_s[XX(a, b), :]
+                )
         for a in range(NU):
-            lprev_s[:, a] = keep(l_k[a], lprev_s[:, a])
-        dv_s[:, 0] = keep(dv_s[:, 0] + dv0, dv_s[:, 0])
-        dv_s[:, 1] = keep(dv_s[:, 1] + dv1, dv_s[:, 1])
-        g_s[...] = keep(g_s[...] + g_k, g_s[...])
-        fail_s[...] = jnp.where(dead, jnp.ones_like(fail_s), fail_s[...])
+            lprev_s[a, :] = lprev_s[a, :] + live * (l_k[a] - lprev_s[a, :])
+        dv_s[0, :] = dv_s[0, :] + live * dv0
+        dv_s[1, :] = dv_s[1, :] + live * dv1
+        g_s[0, :] = g_s[0, :] + live * g_k
+        fail_s[0, :] = fail_now
 
         @pl.when(is_last)
         def _fin():
             dv_ref[...] = dv_s[...]
-            gnorm_ref[...] = g_s[...] / float(N - 1)
+            gnorm_ref[0, :] = g_s[0, :] / float(N - 1)
             failed_ref[...] = fail_s[...]
 
     return kernel
 
 
 @functools.partial(
-    jax.jit, static_argnames=("reg_type", "full_ddp", "interpret")
+    jax.jit, static_argnames=("n_x", "reg_type", "full_ddp", "interpret")
 )
-def pallas_back_pass_tm(
-    sd_tm,  # StepDerivs pytree, TIME-MAJOR: each array (N, B, ...)
-    final_cx,  # (B, n_x)
-    final_cxx,  # (B, n_x, n_x)
-    us_tm,  # (N, B, n_u)
-    lam,  # (B,)
+def pallas_back_pass_cm(
+    sd_cm,  # StepDerivs pytree, COMPONENT-MAJOR: each array (N, C, B)
+    final_cx,  # (n_x, B)
+    final_cxx,  # (n_x*n_x, B)
+    us_cm,  # (N, n_u, B)
+    lam,  # (1, B)
+    n_x: int,
     reg_type: int,
     full_ddp: bool,
     interpret: bool = False,
 ):
-    N, B, n_u = us_tm.shape
-    n_x = final_cx.shape[-1]
-    dtype = us_tm.dtype
+    N, n_u, B = us_cm.shape
+    dtype = us_cm.dtype
 
     kernel = _make_kernel(n_x, n_u, reg_type, full_ddp, N)
 
     def rev(i):  # reverse-time block index
-        return (N - 1 - i, 0, 0)
-
-    def rev2(i):
-        return (N - 1 - i, 0, 0, 0)
-
-    def rev3(i):
-        return (N - 1 - i, 0, 0, 0, 0)
+        # zeros derived from i stay int32 -- literal 0 under jax_enable_x64
+        # becomes an i64 constant, which Mosaic refuses to return from the
+        # index-map function ("failed to legalize operation 'func.return'").
+        z = i - i
+        return (N - 1 - i, z, z)
 
     def spec(a):
-        nd = a.ndim
-        im = {3: rev, 4: rev2, 5: rev3}[nd]
-        return pl.BlockSpec((1,) + a.shape[1:], im, memory_space=pltpu.VMEM)
+        return pl.BlockSpec((1,) + a.shape[1:], rev, memory_space=pltpu.VMEM)
 
     step_inputs = [
-        sd_tm.fx, sd_tm.fu, sd_tm.cx, sd_tm.cu, sd_tm.cxx, sd_tm.cuu,
-        sd_tm.cxu,
+        sd_cm.fx, sd_cm.fu, sd_cm.cx, sd_cm.cu, sd_cm.cxx, sd_cm.cuu,
+        sd_cm.cxu,
     ]
     if full_ddp:
-        step_inputs += [sd_tm.fxx, sd_tm.fuu, sd_tm.fxu]
+        step_inputs += [sd_cm.fxx, sd_cm.fuu, sd_cm.fxu]
     step_inputs += [
-        sd_tm.lower, sd_tm.upper, sd_tm.lower_hx, sd_tm.upper_hx,
-        sd_tm.lower_sign, sd_tm.upper_sign, us_tm,
+        sd_cm.lower, sd_cm.upper, sd_cm.lower_hx, sd_cm.upper_hx,
+        sd_cm.lower_sign, sd_cm.upper_sign, us_cm,
     ]
     in_specs = [spec(a) for a in step_inputs]
     fixed_inputs = step_inputs
-    whole = lambda a: pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
+    whole = lambda a: pl.BlockSpec(a.shape, lambda i: (i - i,) * a.ndim,
                                    memory_space=pltpu.VMEM)
     in_specs += [whole(lam), whole(final_cx), whole(final_cxx)]
 
     out_shape = [
-        jax.ShapeDtypeStruct((N, B, n_u), dtype),  # l
-        jax.ShapeDtypeStruct((N, B, n_u, n_x), dtype),  # L
-        jax.ShapeDtypeStruct((B, 2), dtype),  # dV
-        jax.ShapeDtypeStruct((B,), dtype),  # g_norm
-        jax.ShapeDtypeStruct((B,), dtype),  # failed (0/1)
+        jax.ShapeDtypeStruct((N, n_u, B), dtype),  # l
+        jax.ShapeDtypeStruct((N, n_u * n_x, B), dtype),  # L (row-major u,x)
+        jax.ShapeDtypeStruct((2, B), dtype),  # dV
+        jax.ShapeDtypeStruct((1, B), dtype),  # g_norm
+        jax.ShapeDtypeStruct((1, B), dtype),  # failed (0/1)
     ]
+    rev2 = lambda i: (N - 1 - i, i - i, i - i)
+    fix2 = lambda i: (i - i, i - i)
     out_specs = [
-        pl.BlockSpec((1, B, n_u), rev, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, B, n_u, n_x), rev2, memory_space=pltpu.VMEM),
-        pl.BlockSpec((B, 2), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((B,), lambda i: (0,), memory_space=pltpu.VMEM),
-        pl.BlockSpec((B,), lambda i: (0,), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, n_u, B), rev2, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, n_u * n_x, B), rev2, memory_space=pltpu.VMEM),
+        pl.BlockSpec((2, B), fix2, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, B), fix2, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, B), fix2, memory_space=pltpu.VMEM),
     ]
     scratch = [
-        pltpu.VMEM((B, n_x), dtype),
-        pltpu.VMEM((B, n_x, n_x), dtype),
-        pltpu.VMEM((B, n_u), dtype),
-        pltpu.VMEM((B, 2), dtype),
-        pltpu.VMEM((B,), dtype),
-        pltpu.VMEM((B,), dtype),
+        pltpu.VMEM((n_x, B), dtype),
+        pltpu.VMEM((n_x * n_x, B), dtype),
+        pltpu.VMEM((n_u, B), dtype),
+        pltpu.VMEM((2, B), dtype),
+        pltpu.VMEM((1, B), dtype),
+        pltpu.VMEM((1, B), dtype),
     ]
-    l_tm, L_tm, dV, g_norm, failed = pl.pallas_call(
+    l_cm, L_cm, dV, g_norm, failed = pl.pallas_call(
         kernel,
         grid=(N,),
         in_specs=in_specs,
@@ -429,7 +442,7 @@ def pallas_back_pass_tm(
         scratch_shapes=scratch,
         interpret=interpret,
     )(*fixed_inputs, lam, final_cx, final_cxx)
-    return l_tm, L_tm, dV, g_norm, failed > 0.0
+    return l_cm, L_cm, dV, g_norm, failed > 0.0
 
 
 def batched_back_pass_pallas(
@@ -440,19 +453,29 @@ def batched_back_pass_pallas(
     full_ddp: bool,
     interpret: bool = False,
 ) -> BackPassResult:
-    """Adapter: batch-major bundle -> time-major kernel -> BackPassResult."""
+    """Adapter: batch-major bundle -> component-major kernel -> result."""
     sd = derivs.step
-    to_tm = lambda a: jnp.moveaxis(a, 0, 1) if a.size else a
-    sd_tm = jax.tree_util.tree_map(to_tm, sd)
-    us_tm = jnp.moveaxis(us, 0, 1)
-    l_tm, L_tm, dV, g_norm, failed = pallas_back_pass_tm(
-        sd_tm, derivs.final.cx, derivs.final.cxx, us_tm, lam,
+    B, N, n_u = us.shape
+    n_x = derivs.final.cx.shape[-1]
+
+    def to_cm(a):  # (B, N, d...) -> (N, prod(d), B)
+        if not a.size:
+            return a
+        flat = a.reshape(B, N, -1)
+        return jnp.transpose(flat, (1, 2, 0))
+
+    sd_cm = jax.tree_util.tree_map(to_cm, sd)
+    us_cm = to_cm(us)
+    final_cx = jnp.transpose(derivs.final.cx, (1, 0))
+    final_cxx = jnp.transpose(derivs.final.cxx.reshape(B, -1), (1, 0))
+    l_cm, L_cm, dV, g_norm, failed = pallas_back_pass_cm(
+        sd_cm, final_cx, final_cxx, us_cm, lam[None, :], n_x,
         reg_type=reg_type, full_ddp=full_ddp, interpret=interpret,
     )
     return BackPassResult(
-        l=jnp.moveaxis(l_tm, 0, 1),
-        L=jnp.moveaxis(L_tm, 0, 1),
-        dV=dV,
-        g_norm=g_norm,
-        failed=failed,
+        l=jnp.transpose(l_cm, (2, 0, 1)),
+        L=jnp.transpose(L_cm, (2, 0, 1)).reshape(B, N, n_u, n_x),
+        dV=jnp.transpose(dV, (1, 0)),
+        g_norm=g_norm[0],
+        failed=failed[0],
     )

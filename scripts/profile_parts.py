@@ -1,0 +1,152 @@
+"""Microbenchmark the solver's per-iteration parts on the current backend.
+
+Each part runs K times inside ONE jitted lax.fori_loop (with a data
+dependence so nothing is DCE'd), so per-dispatch overhead of relayed TPU
+backends doesn't pollute the numbers.  Reports ms per single execution.
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+if __name__ == "__main__":
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+    import jax.numpy as jnp
+    from jax import lax
+
+    import ddp_generator_tpu as ddp
+    from ddp_generator_tpu.models import car_parking
+    from ddp_generator_tpu import solver as slv
+    from ddp_generator_tpu.derivs import calc_derivs
+    from ddp_generator_tpu.ops.backpass import back_pass
+    from ddp_generator_tpu.ops.linesearch import line_search
+    from ddp_generator_tpu.ops.forward import forward_pass, cost_only
+
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 512
+    K = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+    T = 500
+    dtype = "float32" if jax.default_backend() == "tpu" else "float64"
+    log(f"backend={jax.default_backend()} B={B} K={K} dtype={dtype}")
+
+    problem = car_parking.car_parking()
+    o = ddp.SolverOptions(max_iter=200, dtype=dtype, tolFun=1e-5)
+    hyper = slv._boxqp_hyper(o)
+
+    p, x0, _ = car_parking.default_setup(T=T, seed=0)
+    rng = np.random.default_rng(0)
+    np_dtype = np.dtype(dtype)
+    x0s = np.tile(np.asarray(x0, np_dtype), (B, 1))
+    u0s = (0.1 * rng.standard_normal((B, T, 2))).astype(np_dtype)
+    p = {k: jnp.asarray(np.asarray(v, np_dtype)) for k, v in p.items()}
+
+    init_fn, body_fn, _fin = slv._make_parts(problem, o)
+    init = jax.jit(jax.vmap(init_fn, in_axes=(0, 0, None)))
+    carry = init(x0s, u0s, p)
+    np.asarray(carry.cost)
+
+    mult = carry.mult
+    wl, wf = carry.w_pen_l, carry.w_pen_f
+    lam = carry.lam
+
+    def loopK(step):
+        """step: (i, acc_scalar(B,)) -> acc_scalar(B,); run K times."""
+        def fn():
+            def body(i, acc):
+                return step(i, acc)
+            return lax.fori_loop(0, K, body, jnp.zeros((B,), jnp.dtype(dtype)))
+        return jax.jit(fn)
+
+    def timeK(name, fn):
+        out = fn()
+        np.asarray(out)
+        times = []
+        for _ in range(3):
+            t0 = time.time()
+            out = fn()
+            np.asarray(out)
+            times.append(time.time() - t0)
+        print(f"{name:30s} {min(times)/K*1e3:9.2f} ms/exec   (total {min(times):.2f}s)")
+
+    # ---- full body iteration ----
+    vbody = jax.vmap(body_fn, in_axes=(0, None))
+
+    def step_body(i, acc):
+        c2 = vbody(carry._replace(cost=carry.cost + 0.0 * acc), p)
+        return acc + c2.cost * 1e-30
+    timeK("full body (1 outer iter)", loopK(step_body))
+
+    # ---- calc_derivs ----
+    vderivs = jax.vmap(
+        lambda xs, us, m, wl_, wf_: calc_derivs(
+            problem, xs, us, p, m.mu_le, m.mu_li, m.mu_fe,
+            m.mu_fi, wl_, wf_, o.full_ddp))
+
+    def step_derivs(i, acc):
+        d = vderivs(carry.xs + 1e-30 * acc[:, None, None], carry.us, mult, wl, wf)
+        return acc + d.final.cx[:, 0] * 1e-30
+    timeK("calc_derivs", loopK(step_derivs))
+
+    d0 = jax.jit(vderivs)(carry.xs, carry.us, mult, wl, wf)
+
+    # ---- back_pass ----
+    vbp = jax.vmap(lambda d, us, lm: back_pass(d, us, lm, o.regType,
+                                               o.full_ddp, hyper))
+
+    def step_bp(i, acc):
+        bp = vbp(d0, carry.us + 1e-30 * acc[:, None, None], lam)
+        return acc + bp.g_norm * 1e-30
+    timeK("back_pass", loopK(step_bp))
+
+    bp0 = jax.jit(vbp)(d0, carry.us, lam)
+
+    # ---- line_search ----
+    alphas = jnp.asarray(o.alpha, jnp.dtype(dtype))
+    vls = jax.vmap(
+        lambda x0_, xs, us, l, L, dV, cost, m, wl_, wf_:
+        line_search(problem, alphas, x0_, xs, us, l, L, dV, cost, o.zMin, p,
+                    m.mu_le, m.mu_li, m.mu_fe, m.mu_fi, wl_, wf_))
+
+    def step_ls(i, acc):
+        ls = vls(carry.xs[:, 0], carry.xs, carry.us + 1e-30 * acc[:, None, None],
+                 bp0.l, bp0.L, bp0.dV, carry.cost, mult, wl, wf)
+        return acc + ls.new_cost * 1e-30
+    timeK("line_search (8 alphas)", loopK(step_ls))
+
+    # ---- forward_pass (1 alpha) ----
+    vfp = jax.vmap(
+        lambda x0_, xs, us, l, L, m, wl_, wf_:
+        forward_pass(problem, x0_, xs, us, l, L,
+                     jnp.asarray(1.0, jnp.dtype(dtype)), p,
+                     m.mu_le, m.mu_li, m.mu_fe, m.mu_fi, wl_, wf_))
+
+    def step_fp(i, acc):
+        r = vfp(carry.xs[:, 0], carry.xs, carry.us + 1e-30 * acc[:, None, None],
+                bp0.l, bp0.L, mult, wl, wf)
+        return acc + r.cost * 1e-30
+    timeK("forward_pass (1 alpha)", loopK(step_fp))
+
+    # ---- cost_only ----
+    vco = jax.vmap(
+        lambda xs, us, m, wl_, wf_: cost_only(problem, xs, us, p, m.mu_le,
+                                 m.mu_li, m.mu_fe, m.mu_fi, wl_, wf_))
+
+    def step_co(i, acc):
+        c = vco(carry.xs + 1e-30 * acc[:, None, None], carry.us, mult, wl, wf)
+        return acc + c * 1e-30
+    timeK("cost_only", loopK(step_co))
