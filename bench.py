@@ -26,7 +26,7 @@ def log(*a):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=512)
+    ap.add_argument("--batch", type=int, default=2048)
     ap.add_argument("--T", type=int, default=500)
     ap.add_argument("--max-iter", type=int, default=200)
     ap.add_argument("--dtype", default=None, help="float32|float64 (default: by platform)")
@@ -34,8 +34,9 @@ def main():
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     ap.add_argument("--unroll", type=int, default=1, help="horizon scan unroll")
     ap.add_argument(
-        "--backpass", default="serial", choices=["serial", "pallas"],
-        help="backward-pass implementation (see SolverOptions.backpass_method)",
+        "--backpass", default=None, choices=["serial", "pallas"],
+        help="backward-pass implementation (default: pallas on TPU, the "
+        "fused kernel; serial scan elsewhere)",
     )
     ap.add_argument(
         "--chunk", type=int, default=10,
@@ -59,7 +60,9 @@ def main():
 
     platform = jax.devices()[0].platform
     dtype = args.dtype or ("float64" if platform == "cpu" else "float32")
-    log(f"platform={platform} devices={jax.devices()} dtype={dtype}")
+    backpass = args.backpass or ("pallas" if platform == "tpu" else "serial")
+    log(f"platform={platform} devices={jax.devices()} dtype={dtype} "
+        f"backpass={backpass}")
 
     import ddp_generator_tpu as ddp
     from ddp_generator_tpu.models import car_parking
@@ -68,7 +71,7 @@ def main():
     tolFun = 1e-7 if dtype == "float64" else 1e-5  # dtype-feasible tolerance
     options = ddp.SolverOptions(
         max_iter=args.max_iter, dtype=dtype, tolFun=tolFun,
-        scan_unroll=args.unroll, backpass_method=args.backpass,
+        scan_unroll=args.unroll, backpass_method=backpass,
     )
     solver = ddp.make_stepwise_solver(problem, options, chunk=args.chunk)
 
