@@ -22,6 +22,7 @@ Quick start::
     sol = ddp.solve(problem, x0, u0, p, ddp.SolverOptions(max_iter=200))
 """
 
+from . import aot
 from .al import Multipliers, init_multipliers, update_multipliers
 from .inspect_api import ProblemInspector, inspect
 from .derivs import DerivBundle, calc_derivs
@@ -58,6 +59,7 @@ __version__ = "0.1.0"
 
 __all__ = [
     "BoxConstraint",
+    "aot",
     "DEFAULT_ALPHA",
     "DerivBundle",
     "Multipliers",
