@@ -1,3 +1,3 @@
-from . import brachistochrone, car_parking
+from . import brachistochrone, car_parking, cartpole
 
-__all__ = ["brachistochrone", "car_parking"]
+__all__ = ["brachistochrone", "car_parking", "cartpole"]

@@ -548,6 +548,16 @@ class StepwiseSolver:
     """Host-driven batched solver: bounded chunks of iterations per device
     call (see module docstring).  Semantically identical to
     :func:`make_batched_solver`; the carry stays on device between calls.
+
+    ``compact_levels > 0`` enables **active-lane compaction**: per-lane
+    iteration counts are heavy-tailed (a batch's wall time is set by its
+    *slowest* instance while the mean lane finishes much earlier, so late
+    chunks run mostly converged, masked-out lanes).  When the active count
+    drops to half the working size, finished lanes are scattered back into
+    the full-batch carry and the active ones regathered into a half-size
+    working set -- each shrink doubles the throughput of the remaining tail.
+    Per-lane trajectories are bit-identical with or without compaction (each
+    lane sees the same iteration sequence; only its batch neighbors change).
     """
 
     def __init__(
@@ -557,9 +567,14 @@ class StepwiseSolver:
         chunk: int = 10,
         batch_params: bool = False,
         donate: bool = True,
+        compact_levels: int = 2,
+        min_compact_batch: int = 256,
     ):
         self.options = options
         self.chunk = chunk
+        self.compact_levels = compact_levels
+        self.min_compact_batch = min_compact_batch
+        self.batch_params = batch_params
         o = options
         init_fn, body_fn, finalize_fn = _make_parts(problem, options)
 
@@ -585,24 +600,72 @@ class StepwiseSolver:
         self._active = jax.jit(
             lambda c: jnp.sum(((~c.done) & (c.it < o.max_iter)).astype(jnp.int32))
         )
+        # Compaction helpers (jit re-specializes per working-set shape):
+        # actives-first permutation, gather a prefix, scatter a working set
+        # back into the full carry.
+        self._order = jax.jit(
+            lambda c: jnp.argsort(
+                (c.done | (c.it >= o.max_iter)).astype(jnp.int32),
+                stable=True,
+            )
+        )
+        self._gather = jax.jit(
+            lambda c, idx: jax.tree_util.tree_map(lambda a: a[idx], c)
+        )
+        self._scatter = jax.jit(
+            lambda full, idx, small: jax.tree_util.tree_map(
+                lambda f, s: f.at[idx].set(s), full, small
+            ),
+            donate_argnums=(0,),
+        )
 
     def __call__(self, x0s, u0s, params) -> Solution:
-        import numpy as np
-
         o = self.options
-        carry = self._init(x0s, u0s, params)
+        full = self._init(x0s, u0s, params)
+        B = int(full.cost.shape[0])
+        # Working set = the full batch until compaction kicks in.
+        small, idx, size = full, None, B
+        levels_left = self.compact_levels
+
+        def sub_params(index):
+            if not self.batch_params:
+                return params
+            return jax.tree_util.tree_map(lambda a: a[index], params)
+
+        cur_params = params
         # Lambda-escalation retries do not advance iteration counters, so a
         # chunk may execute fewer than `chunk` counted iterations; loop on
         # the active count with a generous hard cap (a full escalation from
         # lambdaMin to lambdaMax takes < 40 attempts at the default factor).
         n_calls = max(1, -(-o.max_iter * 40 // self.chunk))
         for _ in range(n_calls):
-            carry = self._chunk(carry, params)
+            small = self._chunk(small, cur_params)
             # One scalar transfer per chunk: stop as soon as every lane is
             # done (converged instances are no-ops inside a chunk anyway).
-            if int(self._active(carry)) == 0:
+            active = int(self._active(small))
+            if active == 0:
                 break
-        return self._finalize(carry)
+            while (
+                levels_left > 0
+                and size % 2 == 0
+                and size // 2 >= self.min_compact_batch
+                and active <= size // 2
+            ):
+                if idx is not None:
+                    full = self._scatter(full, idx, small)
+                else:
+                    full = small
+                size //= 2
+                levels_left -= 1
+                idx = self._order(full)[:size]
+                small = self._gather(full, idx)
+                if self.batch_params:
+                    cur_params = sub_params(idx)
+        if idx is not None:
+            full = self._scatter(full, idx, small)
+        else:
+            full = small
+        return self._finalize(full)
 
 
 def make_stepwise_solver(

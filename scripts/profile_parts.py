@@ -40,6 +40,7 @@ if __name__ == "__main__":
 
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 512
     K = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
     T = 500
     dtype = "float32" if jax.default_backend() == "tpu" else "float64"
     log(f"backend={jax.default_backend()} B={B} K={K} dtype={dtype}")
@@ -73,6 +74,8 @@ if __name__ == "__main__":
         return jax.jit(fn)
 
     def timeK(name, fn):
+        if only is not None and not any(s in name for s in only):
+            return
         out = fn()
         np.asarray(out)
         times = []
@@ -104,7 +107,8 @@ if __name__ == "__main__":
 
     d0 = jax.jit(vderivs)(carry.xs, carry.us, mult, wl, wf)
 
-    # ---- back_pass ----
+    # ---- back_pass (serial scan; skippable -- its vmapped HLO can exceed
+    # remote-compile payload limits at large B) ----
     vbp = jax.vmap(lambda d, us, lm: back_pass(d, us, lm, o.regType,
                                                o.full_ddp, hyper))
 
@@ -113,7 +117,18 @@ if __name__ == "__main__":
         return acc + bp.g_norm * 1e-30
     timeK("back_pass", loopK(step_bp))
 
-    bp0 = jax.jit(vbp)(d0, carry.us, lam)
+    # ---- back_pass (pallas fused kernel) ----
+    from ddp_generator_tpu.ops.pallas_backpass import batched_back_pass_pallas
+    interp = jax.default_backend() != "tpu"
+    pbp = lambda d, us, lm: batched_back_pass_pallas(
+        d, us, lm, o.regType, o.full_ddp, interpret=interp)
+
+    def step_pbp(i, acc):
+        bp = pbp(d0, carry.us + 1e-30 * acc[:, None, None], lam)
+        return acc + bp.g_norm * 1e-30
+    timeK("back_pass_pallas", loopK(step_pbp))
+
+    bp0 = jax.jit(pbp)(d0, carry.us, lam)
 
     # ---- line_search ----
     alphas = jnp.asarray(o.alpha, jnp.dtype(dtype))

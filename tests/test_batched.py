@@ -112,3 +112,54 @@ def test_batched_params(car_small):
     w_max = np.max(np.abs(np.asarray(sol.us[..., 0])), axis=1)
     for b, lim in enumerate([0.5, 0.4, 0.3, 0.2]):
         assert w_max[b] <= lim + 1e-12
+
+
+def test_stepwise_matches_batched(car_small):
+    prob, p, x0, opts = car_small
+    x0s, u0s = _batch_inputs(x0, 8, 60)
+    want = ddp.make_batched_solver(prob, opts)(x0s, u0s, p)
+    got = ddp.make_stepwise_solver(prob, opts, chunk=4)(x0s, u0s, p)
+    np.testing.assert_array_equal(np.asarray(got.cost), np.asarray(want.cost))
+    np.testing.assert_array_equal(
+        np.asarray(got.iterations), np.asarray(want.iterations)
+    )
+    np.testing.assert_array_equal(np.asarray(got.us), np.asarray(want.us))
+
+
+def test_stepwise_compaction_bit_identical(car_small):
+    """Active-lane compaction must not change any lane's result: per-lane
+    iteration counts diverge (different u0 seeds), so late chunks run with
+    shrunken working sets when min_compact_batch allows it."""
+    prob, p, x0, opts = car_small
+    x0s, u0s = _batch_inputs(x0, 16, 60, seed=3)
+    ref = ddp.StepwiseSolver(prob, opts, chunk=2, compact_levels=0)(
+        x0s, u0s, p
+    )
+    got = ddp.StepwiseSolver(
+        prob, opts, chunk=2, compact_levels=3, min_compact_batch=2
+    )(x0s, u0s, p)
+    np.testing.assert_array_equal(np.asarray(got.cost), np.asarray(ref.cost))
+    np.testing.assert_array_equal(
+        np.asarray(got.iterations), np.asarray(ref.iterations)
+    )
+    np.testing.assert_array_equal(np.asarray(got.us), np.asarray(ref.us))
+    np.testing.assert_array_equal(
+        np.asarray(got.status), np.asarray(ref.status)
+    )
+
+
+def test_stepwise_compaction_batched_params(car_small):
+    prob, p, x0, opts = car_small
+    B = 12
+    x0s, u0s = _batch_inputs(x0, B, 60, seed=5)
+    pb = {k: jnp.asarray(np.tile(np.asarray(v), (B,) + (1,) * np.ndim(v)))
+          for k, v in p.items()}
+    ref = ddp.StepwiseSolver(
+        prob, opts, chunk=2, batch_params=True, compact_levels=0
+    )(x0s, u0s, pb)
+    got = ddp.StepwiseSolver(
+        prob, opts, chunk=2, batch_params=True, compact_levels=2,
+        min_compact_batch=3,
+    )(x0s, u0s, pb)
+    np.testing.assert_array_equal(np.asarray(got.cost), np.asarray(ref.cost))
+    np.testing.assert_array_equal(np.asarray(got.us), np.asarray(ref.us))
