@@ -30,8 +30,21 @@ def test_cartpole_respects_force_limits(pole_solution):
     prob, p, sol = pole_solution
     us = np.asarray(sol.us)
     assert np.max(np.abs(us)) <= 15.0 + 1e-12
-    # the swing-up saturates the force limit
-    assert np.any(np.abs(us) > 15.0 - 1e-6)
+
+
+def test_cartpole_saturates_tight_force_limit(pole_solution):
+    # At +-4 N the preferred swing-up (peak ~6 N under the loose +-15 limit)
+    # is infeasible, so the optimum must ride the bound: the clamp machinery
+    # (limitsU/boxQP, iLQG_func.tem:75-119 semantics) is provably engaged.
+    prob, _, _ = pole_solution
+    p, x0, u0 = cartpole.default_setup(T=150, seed=0)
+    p["limF"] = np.array([-4.0, 4.0])
+    sol = ddp.solve(prob, x0, u0, p, ddp.SolverOptions(max_iter=150))
+    assert bool(sol.success)
+    us = np.asarray(sol.us)
+    assert np.max(np.abs(us)) <= 4.0 + 1e-12
+    assert np.any(np.abs(us) > 4.0 - 1e-9)
+    assert np.cos(np.asarray(sol.xs[-1])[1]) > 0.98
 
 
 def test_cartpole_pallas_backpass_matches_serial(pole_solution):
