@@ -61,10 +61,14 @@ class SolverOptions:
     # --- TPU-native extensions (reference compile-time knobs) ---
     full_ddp: bool = True  # FULL_DDP (iLQG.h:4-6): 2nd-order dynamics terms
     dtype: str = "float64"  # numeric dtype of the solve
-    # boxQP hyper-parameters (boxQP.c:52-57)
+    # boxQP hyper-parameters (boxQP.c:52-57).  The two tolerances default to
+    # "auto": the reference values (1e-8) in float64, loosened to what the
+    # dtype can resolve in float32 (1e-5 / 1e-6) -- a warm-started QP cannot
+    # drive its gradient below ~eps*|g| so the float64 tolerances would trip
+    # spurious non-descent failures.  Any explicit float is used verbatim.
     boxqp_max_iter: int = 100
-    boxqp_min_grad: float = 1e-8
-    boxqp_min_rel_improve: float = 1e-8
+    boxqp_min_grad: "float | str" = "auto"
+    boxqp_min_rel_improve: "float | str" = "auto"
     boxqp_step_dec: float = 0.6
     boxqp_min_step: float = 1e-22
     boxqp_armijo: float = 0.1
@@ -121,6 +125,10 @@ class SolverOptions:
             raise OptionError("zMin: parameter must be in range [0..1)")
         if not 0 <= self.debug_level <= 6:
             raise OptionError("debug_level: parameter must be in range [0..6]")
+        for nm in ("boxqp_min_grad", "boxqp_min_rel_improve"):
+            v = getattr(self, nm)
+            if v != "auto" and (not isinstance(v, (int, float)) or v <= 0):
+                raise OptionError(f"{nm} must be 'auto' or a positive float")
         if self.boxqp_method not in ("auto", "newton", "enumerate"):
             raise OptionError("boxqp_method must be auto|newton|enumerate")
         if self.backpass_method not in ("serial", "parallel", "pallas"):
@@ -153,6 +161,8 @@ def options_from_dict(d: dict) -> SolverOptions:
             value = bool(value)
         elif name == "dtype":
             value = str(value)
+        elif name in ("boxqp_min_grad", "boxqp_min_rel_improve"):
+            value = value if value == "auto" else float(value)
         else:
             value = float(value)
         kw[name] = value

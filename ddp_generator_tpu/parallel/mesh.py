@@ -90,15 +90,22 @@ def make_sharded_solver(
     shard = NamedSharding(mesh, P(axis))
     replicated = NamedSharding(mesh, P())
 
+    param_sharding = shard if batch_params else replicated
+
     def fn(x0s, u0s, params):
         x0s = jax.lax.with_sharding_constraint(x0s, shard)
         u0s = jax.lax.with_sharding_constraint(u0s, shard)
+        # Batched params are sharded along the instance axis with the batch;
+        # shared params are replicated on every device.
+        params = jax.tree_util.tree_map(
+            lambda a: jax.lax.with_sharding_constraint(
+                jnp.asarray(a), param_sharding
+            ),
+            params,
+        )
         sol = batched(x0s, u0s, params)
         return sol, batch_stats(sol)
 
-    param_sharding = (
-        shard if batch_params else jax.tree_util.tree_map(lambda _: replicated, None)
-    )
     return jax.jit(fn)
 
 

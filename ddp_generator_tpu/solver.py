@@ -10,9 +10,9 @@ branches is exactly per-lane masking (SURVEY.md section 7 "hard parts").
 Per iteration (cf. the STEP comments in ``iLQG.c:239-361``):
 
 1. derivatives along the nominal trajectory when ``newDeriv`` (iLQG.c:241-256)
-   -- the fresh bundle is selected against the stored one so rejected steps
-   keep using the *stale* derivatives exactly like the reference (which does
-   not refresh derivatives after penalty-weight bumps on reject);
+   -- rejected steps keep the reference's *stale* derivatives bit-exactly by
+   recomputing the bundle from its (unchanged) inputs each iteration instead
+   of carrying it in the loop state (see ``_Carry.w_pen_l_d``);
 2. backward pass with lambda escalation on failure (iLQG.c:261-284);
 3. gradient-tolerance exit (iLQG.c:297-303);
 4. multi-alpha line search (iLQG.c:307, line_search.c);
@@ -50,7 +50,7 @@ from jax import lax
 
 from . import solution as sol
 from .al import Multipliers, init_multipliers, update_multipliers
-from .derivs import DerivBundle, calc_derivs
+from .derivs import calc_derivs
 from .options import SolverOptions
 from .ops.backpass import back_pass
 from .ops.boxqp import BoxQPHyper
@@ -58,7 +58,7 @@ from .ops.forward import cost_only, forward_pass
 from .ops.linesearch import line_search
 from .problem import Problem
 from .solution import Solution
-from .utils.tree import tree_where, tree_zeros_like_shape
+from .utils.tree import tree_where
 
 Array = jax.Array
 
@@ -67,12 +67,22 @@ class _Carry(NamedTuple):
     xs: Array  # (N+1, n_x); xs[0] is always the initial state x0
     us: Array
     cost: Array
-    derivs: DerivBundle
     mult: Multipliers
     lam: Array
     dlam: Array
     w_pen_l: Array
     w_pen_f: Array
+    # Penalty weights the derivative bundle must be evaluated with: frozen at
+    # the last accept, so reject-path w_pen bumps (w_pen_fact2) keep using
+    # STALE derivatives exactly like the reference (iLQG.c:241-256 only
+    # recomputes when newDeriv).  The bundle itself is NOT carried: it is a
+    # pure function of (xs, us, mult, w_pen_*_d), all of which are unchanged
+    # on reject/retry iterations, so recomputing it each iteration is
+    # bit-identical to storing it -- and drops ~180 floats/step of loop-carry
+    # state (the select + carry traffic cost more than calc_derivs itself;
+    # measured in scripts/profile_parts.py).
+    w_pen_l_d: Array
+    w_pen_f_d: Array
     new_deriv: Array  # bool
     back_pass_done: Array  # bool (final-success determination, iLQG.c:367)
     it: Array  # int32
@@ -88,20 +98,20 @@ class _Carry(NamedTuple):
 
 
 def _boxqp_hyper(o: SolverOptions) -> BoxQPHyper:
+    # "auto" resolves the boxQP tolerances per dtype: the reference values
+    # (boxQP.c:52-57) are calibrated for double precision; in float32 a
+    # warm-started-at-the-optimum QP cannot drive its gradient below
+    # ~eps*|g| ~ 1e-8, so the 1e-8 minGrad would be unreachable and the
+    # residual search direction is rounding noise, tripping the non-descent
+    # failure (res=-2) and a spurious lambda escalation.  Explicit user
+    # floats are always used verbatim (see options.py).
+    f32 = jnp.dtype(o.dtype) == jnp.float32
     min_grad = o.boxqp_min_grad
+    if min_grad == "auto":
+        min_grad = 1e-5 if f32 else 1e-8
     min_rel_improve = o.boxqp_min_rel_improve
-    if jnp.dtype(o.dtype) == jnp.float32:
-        # The reference hyper-parameters (boxQP.c:52-57) are calibrated for
-        # double precision.  In float32 a warm-started-at-the-optimum QP
-        # cannot drive its gradient below ~eps*|g| ~ 1e-8, so the 1e-8
-        # minGrad is unreachable and the residual search direction is
-        # rounding noise, tripping the non-descent failure (res=-2) and a
-        # spurious lambda escalation.  Scale the tolerances to the dtype
-        # unless the user overrode them.
-        if min_grad == 1e-8:
-            min_grad = 1e-5
-        if min_rel_improve == 1e-8:
-            min_rel_improve = 1e-6
+    if min_rel_improve == "auto":
+        min_rel_improve = 1e-6 if f32 else 1e-8
     return BoxQPHyper(
         max_iter=o.boxqp_max_iter,
         min_grad=min_grad,
@@ -229,17 +239,6 @@ def _make_parts(problem: Problem, options: SolverOptions):
             o.w_pen_fact1, o.tolConstraint, init=True,
         )
 
-        derivs_shape = jax.eval_shape(
-            lambda xs, us: calc_derivs(
-                problem, xs, us, params,
-                mu0.multipliers.mu_le, mu0.multipliers.mu_li,
-                mu0.multipliers.mu_fe, mu0.multipliers.mu_fi,
-                w_pen_l0, w_pen_f0, o.full_ddp,
-            ),
-            r0.xs, r0.us,
-        )
-        derivs0 = tree_zeros_like_shape(derivs_shape)
-
         init_failed = ~r0.ok
         # xs[0] must be x0 even when the rollout NaN'd out mid-way (the
         # body reads x0 back from xs[0]).
@@ -248,12 +247,13 @@ def _make_parts(problem: Problem, options: SolverOptions):
             xs=xs0,
             us=r0.us,
             cost=r0.cost,
-            derivs=derivs0,
             mult=mu0.multipliers,
             lam=jnp.asarray(o.lambdaInit, dtype),
             dlam=jnp.asarray(o.dlambdaInit, dtype),
             w_pen_l=w_pen_l0,
             w_pen_f=w_pen_f0,
+            w_pen_l_d=w_pen_l0,
+            w_pen_f_d=w_pen_f0,
             new_deriv=jnp.asarray(True),
             back_pass_done=jnp.asarray(False),
             it=jnp.asarray(0, jnp.int32),
@@ -281,13 +281,17 @@ def _make_parts(problem: Problem, options: SolverOptions):
         status = c.status
 
         # ===== STEP 1: derivatives (iLQG.c:241-256) =====
-        fresh = calc_derivs(
+        # Recomputed every call from inputs that only change when new_deriv
+        # is set (see _Carry.w_pen_l_d): reject/λ-retry iterations reproduce
+        # the exact stored bundle of the reference's stale-derivative path.
+        w_pen_l_d = jnp.where(c.new_deriv, c.w_pen_l, c.w_pen_l_d)
+        w_pen_f_d = jnp.where(c.new_deriv, c.w_pen_f, c.w_pen_f_d)
+        derivs = calc_derivs(
             problem, c.xs, c.us, params,
             c.mult.mu_le, c.mult.mu_li, c.mult.mu_fe, c.mult.mu_fi,
-            c.w_pen_l, c.w_pen_f, o.full_ddp,
+            w_pen_l_d, w_pen_f_d, o.full_ddp,
         )
-        derivs = tree_where(c.new_deriv, fresh, c.derivs)
-        derivs_failed = c.new_deriv & ~fresh.ok
+        derivs_failed = c.new_deriv & ~derivs.ok
         status = jnp.where(
             derivs_failed, jnp.asarray(sol.STATUS_DERIVS_FAILED, jnp.int32),
             status,
@@ -367,14 +371,26 @@ def _make_parts(problem: Problem, options: SolverOptions):
         )
         do_mult_update = accepted & ~tolfun_exit
 
-        upd = update_multipliers(
-            problem, xs, us, params, c.mult,
-            c.w_pen_l, c.w_pen_f, w_pen_max_l, w_pen_max_f,
-            o.w_pen_fact1, o.tolConstraint, init=False,
-        )
-        mult = tree_where(do_mult_update, upd.multipliers, c.mult)
-        w_pen_l = jnp.where(do_mult_update, upd.w_pen_l, c.w_pen_l)
-        w_pen_f = jnp.where(do_mult_update, upd.w_pen_f, c.w_pen_f)
+        # With no AL constraint families the multiplier update is the empty
+        # update and the penalty re-rollout re-evaluates an unchanged
+        # objective (penalty terms don't exist), so both are statically
+        # elided -- reference behavior is unchanged, just not re-derived
+        # (iLQG.c:337-338,345-348 are no-ops for such problems).
+        has_al = (problem.n_hle + problem.n_hli
+                  + problem.n_hfe + problem.n_hfi) > 0
+
+        if has_al:
+            upd = update_multipliers(
+                problem, xs, us, params, c.mult,
+                c.w_pen_l, c.w_pen_f, w_pen_max_l, w_pen_max_f,
+                o.w_pen_fact1, o.tolConstraint, init=False,
+            )
+            mult = tree_where(do_mult_update, upd.multipliers, c.mult)
+            w_pen_l = jnp.where(do_mult_update, upd.w_pen_l, c.w_pen_l)
+            w_pen_f = jnp.where(do_mult_update, upd.w_pen_f, c.w_pen_f)
+        else:
+            mult = c.mult
+            w_pen_l, w_pen_f = c.w_pen_l, c.w_pen_f
 
         # ===== STEP 4b: reject (iLQG.c:340-361) =====
         dlam_r = jnp.maximum(dlam * o.lambdaFactor, o.lambdaFactor)
@@ -394,15 +410,16 @@ def _make_parts(problem: Problem, options: SolverOptions):
         else:
             recost = do_mult_update
 
-        # Penalty re-rollout: forward_pass(nominal, o, 0.0, &cost, 1)
-        # (iLQG.c:338,348) -- cost of the unchanged trajectory under the
-        # new multipliers / penalty weights.
-        new_cost_eval = cost_only(
-            problem, xs, us, params,
-            mult.mu_le, mult.mu_li, mult.mu_fe, mult.mu_fi,
-            w_pen_l, w_pen_f,
-        )
-        cost = jnp.where(recost, new_cost_eval, cost)
+        if has_al:
+            # Penalty re-rollout: forward_pass(nominal, o, 0.0, &cost, 1)
+            # (iLQG.c:338,348) -- cost of the unchanged trajectory under the
+            # new multipliers / penalty weights.
+            new_cost_eval = cost_only(
+                problem, xs, us, params,
+                mult.mu_le, mult.mu_li, mult.mu_fe, mult.mu_fi,
+                w_pen_l, w_pen_f,
+            )
+            cost = jnp.where(recost, new_cost_eval, cost)
 
         lammax_exit = rejected & (lam > o.lambdaMax)
         status = jnp.where(
@@ -426,12 +443,13 @@ def _make_parts(problem: Problem, options: SolverOptions):
             xs=xs,
             us=us,
             cost=cost,
-            derivs=derivs,
             mult=mult,
             lam=lam,
             dlam=dlam,
             w_pen_l=w_pen_l,
             w_pen_f=w_pen_f,
+            w_pen_l_d=w_pen_l_d,
+            w_pen_f_d=w_pen_f_d,
             new_deriv=new_deriv,
             back_pass_done=back_pass_done,
             # C breaks before the for-increment, so o->iterations keeps
@@ -635,15 +653,27 @@ class StepwiseSolver:
         cur_params = params
         # Lambda-escalation retries do not advance iteration counters, so a
         # chunk may execute fewer than `chunk` counted iterations; loop on
-        # the active count with a generous hard cap (a full escalation from
-        # lambdaMin to lambdaMax takes < 40 attempts at the default factor).
-        n_calls = max(1, -(-o.max_iter * 40 // self.chunk))
+        # the active count.  The cap is a true upper bound on body calls:
+        # each counted iteration is preceded by at most n_lam_steps retries
+        # (λ multiplies by at least lambdaFactor per consecutive failure, so
+        # it walks lambdaMin -> lambdaMax in at most
+        # log(λmax/λmin)/log(λfactor) attempts; the reference's inner while
+        # has the same bound, iLQG.c:261-275).
+        import numpy as _np
+
+        lam_lo = max(o.lambdaMin, 1e-300)
+        n_lam_steps = 2 + int(_np.ceil(
+            _np.log(max(o.lambdaMax / lam_lo, 2.0)) / _np.log(o.lambdaFactor)
+        ))
+        n_calls = max(1, -(-o.max_iter * (1 + n_lam_steps) // self.chunk))
+        exhausted = True
         for _ in range(n_calls):
             small = self._chunk(small, cur_params)
             # One scalar transfer per chunk: stop as soon as every lane is
             # done (converged instances are no-ops inside a chunk anyway).
             active = int(self._active(small))
             if active == 0:
+                exhausted = False
                 break
             while (
                 levels_left > 0
@@ -661,6 +691,14 @@ class StepwiseSolver:
                 small = self._gather(full, idx)
                 if self.batch_params:
                     cur_params = sub_params(idx)
+        if exhausted:
+            # Unreachable under correct masking (see the bound above); fail
+            # loudly rather than silently finalizing still-active lanes.
+            raise RuntimeError(
+                f"StepwiseSolver: {int(self._active(small))} lanes still "
+                f"active after {n_calls} chunk calls (bound "
+                f"max_iter*(1+{n_lam_steps})); this indicates a masking bug"
+            )
         if idx is not None:
             full = self._scatter(full, idx, small)
         else:

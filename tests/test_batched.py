@@ -163,3 +163,26 @@ def test_stepwise_compaction_batched_params(car_small):
     )(x0s, u0s, pb)
     np.testing.assert_array_equal(np.asarray(got.cost), np.asarray(ref.cost))
     np.testing.assert_array_equal(np.asarray(got.us), np.asarray(ref.us))
+
+
+def test_sharded_solver_batched_params():
+    """Batched params must be sharded along the instance axis with the batch
+    (mesh.py param_sharding path)."""
+    prob = brachistochrone.brachistochrone()
+    p, x0, u0 = brachistochrone.default_setup(30)
+    opts = ddp.SolverOptions(
+        max_iter=15, w_pen_init_f=40.0, w_pen_fact2=2.0, full_ddp=False
+    )
+    B = 8
+    x0s = jnp.asarray(np.tile(np.asarray(x0), (B, 1)))
+    u0s = jnp.asarray(np.tile(np.asarray(u0), (B, 1, 1)))
+    pb = {k: jnp.asarray(np.tile(np.asarray(v, np.float64), (B,) + (1,) * np.ndim(v)))
+          for k, v in p.items()}
+    solver = pmesh.make_sharded_solver(prob, opts, batch_params=True)
+    sol, stats = solver(x0s, u0s, pb)
+    assert int(stats.n_success) == B
+    assert len(sol.cost.sharding.device_set) == 8
+    # matches the unsharded batched-params result
+    want = ddp.make_batched_solver(prob, opts, batch_params=True)(x0s, u0s, pb)
+    np.testing.assert_allclose(np.asarray(sol.cost), np.asarray(want.cost),
+                               rtol=1e-10)

@@ -171,3 +171,26 @@ def test_enumerate_infinite_bounds_and_nonpd():
     Hbad = jnp.asarray([[1.0, 0.0], [0.0, -1.0]])
     r = boxqp_enumerate(Hbad, g, -inf, inf)
     assert int(r.res) == -1
+
+
+def test_boxqp_hyper_auto_sentinel():
+    """'auto' resolves the boxQP tolerances per dtype; explicit user floats
+    are used verbatim (no value-equality trap on the float64 defaults)."""
+    import ddp_generator_tpu as ddp
+    from ddp_generator_tpu.solver import _boxqp_hyper
+
+    h64 = _boxqp_hyper(ddp.SolverOptions(dtype="float64"))
+    assert h64.min_grad == 1e-8 and h64.min_rel_improve == 1e-8
+    h32 = _boxqp_hyper(ddp.SolverOptions(dtype="float32"))
+    assert h32.min_grad == 1e-5 and h32.min_rel_improve == 1e-6
+    # A user deliberately asking for 1e-8 in float32 gets 1e-8.
+    h32x = _boxqp_hyper(
+        ddp.SolverOptions(dtype="float32", boxqp_min_grad=1e-8,
+                          boxqp_min_rel_improve=1e-8)
+    )
+    assert h32x.min_grad == 1e-8 and h32x.min_rel_improve == 1e-8
+    import pytest as _pytest
+    with _pytest.raises(ddp.OptionError):
+        ddp.SolverOptions(boxqp_min_grad="bogus")
+    with _pytest.raises(ddp.OptionError):
+        ddp.SolverOptions(boxqp_min_grad=-1.0)
