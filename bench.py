@@ -39,6 +39,11 @@ def main():
         "fused kernel; serial scan elsewhere)",
     )
     ap.add_argument(
+        "--linesearch", default=None, choices=["serial", "pallas"],
+        help="line-search implementation (default: pallas fused rollout "
+        "kernels on TPU; vmap-of-scan elsewhere)",
+    )
+    ap.add_argument(
         "--chunk", type=int, default=10,
         help="iterations per device call (bounds device-program duration; "
         "some TPU runtimes watchdog-kill minutes-long programs)",
@@ -61,8 +66,9 @@ def main():
     platform = jax.devices()[0].platform
     dtype = args.dtype or ("float64" if platform == "cpu" else "float32")
     backpass = args.backpass or ("pallas" if platform == "tpu" else "serial")
+    linesearch = args.linesearch or ("pallas" if platform == "tpu" else "serial")
     log(f"platform={platform} devices={jax.devices()} dtype={dtype} "
-        f"backpass={backpass}")
+        f"backpass={backpass} linesearch={linesearch}")
 
     import ddp_generator_tpu as ddp
     from ddp_generator_tpu.models import car_parking
@@ -72,6 +78,7 @@ def main():
     options = ddp.SolverOptions(
         max_iter=args.max_iter, dtype=dtype, tolFun=tolFun,
         scan_unroll=args.unroll, backpass_method=backpass,
+        linesearch_method=linesearch,
     )
     solver = ddp.make_stepwise_solver(problem, options, chunk=args.chunk)
 

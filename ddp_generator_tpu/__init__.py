@@ -23,6 +23,7 @@ Quick start::
 """
 
 from . import aot
+from . import debugging
 from .al import Multipliers, init_multipliers, update_multipliers
 from .inspect_api import ProblemInspector, inspect
 from .derivs import DerivBundle, calc_derivs
@@ -60,6 +61,7 @@ __version__ = "0.1.0"
 __all__ = [
     "BoxConstraint",
     "aot",
+    "debugging",
     "DEFAULT_ALPHA",
     "DerivBundle",
     "Multipliers",

@@ -1,0 +1,437 @@
+"""Pallas TPU kernels: the multi-alpha line search as two fused rollouts.
+
+The line search is the hot op left after the fused backward pass: 8 alphas x
+N serial steps of tiny VPU math (the dynamics transcendentals dominate).  The
+XLA ``vmap``-of-``scan`` version pays per-step region overhead and strided
+(B, N, ...) slicing; these kernels run each whole rollout inside ONE
+``pallas_call`` with the same design as ``pallas_backpass``:
+
+* grid = (N,), forward order; VMEM scratch carries the state/cost/ok flags
+  across grid steps (TPU grid iterations execute sequentially);
+* component-major layout ``(N, C, B)``: tiny state/control components on
+  sublanes, the instance batch on the 128-wide lanes;
+* user problem functions (f, L, F, h, hle, hli, hfe, hfi) are traced INSIDE
+  the kernel on component-indexed vectors -- ``x[0]`` is an ``(A, B)`` or
+  ``(B,)`` lane vector -- through :func:`pallas_math.pallas_safe`, which
+  substitutes Mosaic-unsupported transcendentals (asin & co).
+
+Two kernels implement ``line_search`` semantics (``line_search.c:33-78``)
+exactly, split so the 8-wide sweep never materializes trajectories:
+
+1. **cost sweep** (multi-alpha): rolls all alphas simultaneously, emitting
+   only per-alpha total costs and finite-ness flags -- no (N, A, n_x, B)
+   trajectory traffic;
+2. after the (cheap, XLA) first-accepted-alpha selection, the **selected
+   rollout** re-rolls exactly one alpha per lane (a per-lane alpha vector)
+   and stores its trajectory.  Recomputation is bit-identical to the sweep
+   (same op order), so the returned cost/trajectory pair is consistent.
+
+Scope: shared (unbatched) params; per-lane params fall back to the XLA path
+in the solver.  Failure lanes report the LAST alpha's numbers like the
+reference (``line_search.c:70-76``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..al import _eq_penalty, _ineq_penalty
+from ..problem import Problem
+from .linesearch import LineSearchResult
+from .pallas_math import pallas_safe
+
+Array = jax.Array
+
+
+def _normalize_leaf(a: Array) -> Array:
+    """Param leaf -> 2D array for a VMEM ref."""
+    a = jnp.asarray(a)
+    if a.ndim == 0:
+        return a.reshape(1, 1)
+    if a.ndim == 1:
+        return a.reshape(1, -1)
+    return a.reshape(a.shape[0], -1)
+
+
+def _read_leaf(ref, shape: tuple, dtype) -> Array:
+    if len(shape) == 0:
+        return ref[0, 0]
+    if len(shape) == 1:
+        return ref[0, :]
+    return ref[...].reshape(shape)
+
+
+def _make_rollout_kernel(
+    problem: Problem,
+    N: int,
+    alphas: Sequence[float],  # static schedule (multi) -- ignored if not multi
+    leaf_shapes: Sequence[tuple],
+    np_dtype,
+    multi: bool,
+    treedef,
+):
+    n_x, n_u = problem.n_x, problem.n_u
+    n_hle, n_hli = problem.n_hle, problem.n_hli
+    n_hfe, n_hfi = problem.n_hfe, problem.n_hfi
+    A = len(alphas)
+
+    f_safe = pallas_safe(problem.f)
+    L_safe = pallas_safe(problem.L)
+    F_safe = pallas_safe(problem.F)
+    h_safe = [pallas_safe(bc.fn) for bc in problem.box_constraints]
+    hle_safe = [pallas_safe(fn) for fn in problem.hle]
+    hli_safe = [pallas_safe(fn) for fn in problem.hli]
+    hfe_safe = [pallas_safe(fn) for fn in problem.hfe]
+    hfi_safe = [pallas_safe(fn) for fn in problem.hfi]
+
+    def kernel(*refs):
+        it = iter(refs)
+        xnom_ref, unom_ref, l_ref, L_ref = (next(it) for _ in range(4))
+        mu_le_ref = next(it) if n_hle else None
+        mu_li_ref = next(it) if n_hli else None
+        x0_ref, wpl_ref, wpf_ref = (next(it) for _ in range(3))
+        mu_fe_ref = next(it) if n_hfe else None
+        mu_fi_ref = next(it) if n_hfi else None
+        alpha_ref = None if multi else next(it)
+        param_refs = [next(it) for _ in leaf_shapes]
+        if multi:
+            costs_ref, ok_ref = next(it), next(it)
+            xs_ref = xf_ref = us_ref = None
+        else:
+            xs_ref, xf_ref, us_ref = next(it), next(it), next(it)
+            costs_ref = ok_ref = None
+        x_s, c_s, ok_s = next(it), next(it), next(it)
+
+        i = pl.program_id(0)
+        wpl = wpl_ref[0, :]  # (B,)
+        wpf = wpf_ref[0, :]
+
+        leaves = [
+            _read_leaf(r, s, np_dtype) for r, s in zip(param_refs, leaf_shapes)
+        ]
+        p = jax.tree_util.tree_unflatten(treedef, leaves)
+
+        @pl.when(i == 0)
+        def _init():
+            if multi:
+                for a in range(n_x):
+                    row = x0_ref[a, :]  # (B,)
+                    x_s[a * A:(a + 1) * A, :] = jnp.broadcast_to(
+                        row[None, :], (A,) + row.shape
+                    )
+            else:
+                x_s[...] = x0_ref[...]
+            c_s[...] = jnp.zeros_like(c_s)
+            ok_s[...] = jnp.ones_like(ok_s)
+
+        if multi:
+            x_list = [x_s[a * A:(a + 1) * A, :] for a in range(n_x)]  # (A,B)
+            # Build the per-row alpha column from iota (Pallas forbids
+            # captured array constants; scalar constants are fine).
+            ai = jax.lax.broadcasted_iota(jnp.int32, (A, 1), 0)
+            alpha = jnp.zeros((A, 1), np_dtype)
+            for a_i, a_v in enumerate(alphas):
+                alpha = alpha + float(a_v) * (ai == a_i).astype(np_dtype)
+        else:
+            x_list = [x_s[a, :] for a in range(n_x)]  # (B,)
+            alpha = alpha_ref[0, :]  # (B,)
+
+        xn = [xnom_ref[0, a, :] for a in range(n_x)]  # (B,)
+        dx = [x_list[a] - xn[a] for a in range(n_x)]
+
+        u_list = []
+        for j in range(n_u):
+            du = alpha * l_ref[0, j, :]
+            for a in range(n_x):
+                du = du + L_ref[0, j * n_x + a, :] * dx[a]
+            u_list.append(unom_ref[0, j, :] + du)
+        if any(float(al) == 0.0 for al in alphas):
+            # alpha == 0 selects the reference's exact open-loop branch
+            # (iLQG_func.tem:155-158)
+            zmask = (alpha == 0.0).astype(np_dtype)
+            u_list = [
+                u_list[j] + zmask * (unom_ref[0, j, :] - u_list[j])
+                for j in range(n_u)
+            ]
+
+        x_arr = jnp.stack(x_list)
+        u_arr0 = jnp.stack(u_list)
+        # clampU semantics: sequential per-constraint clamping
+        # (iLQG_func.tem:68-73); the limit is u-independent by the
+        # single-input +-1-coefficient rule (genenerator_main.mac:385-395).
+        for bc, hs in zip(problem.box_constraints, h_safe):
+            hval = hs(x_arr, u_arr0, p, i)
+            lim = -bc.sign * (hval - bc.sign * u_arr0[bc.u_index])
+            cur = u_list[bc.u_index]
+            u_list[bc.u_index] = (
+                jnp.minimum(cur, lim) if bc.sign > 0 else jnp.maximum(cur, lim)
+            )
+        u_arr = jnp.stack(u_list)
+
+        # running cost with AL penalties, vector-shaped (no global sum)
+        c = L_safe(x_arr, u_arr, p, i)
+        for idx, fn in enumerate(hle_safe):
+            hval = fn(x_arr, u_arr, p, i)
+            c = c + _eq_penalty(mu_le_ref[0, idx, :], hval, wpl)
+        for idx, fn in enumerate(hli_safe):
+            hval = fn(x_arr, u_arr, p, i)
+            c = c + _ineq_penalty(mu_li_ref[0, idx, :], hval, wpl)
+
+        x_next = f_safe(x_arr, u_arr, p, i)
+
+        okf = jnp.isfinite(c).astype(np_dtype)
+        for a in range(n_x):
+            okf = okf * jnp.isfinite(x_next[a]).astype(np_dtype)
+
+        if not multi:
+            for a in range(n_x):
+                xs_ref[0, a, :] = x_list[a]
+            for j in range(n_u):
+                us_ref[0, j, :] = u_list[j]
+
+        # accumulate
+        if multi:
+            c_s[...] = c_s[...] + c
+            ok_s[...] = ok_s[...] * okf
+            for a in range(n_x):
+                x_s[a * A:(a + 1) * A, :] = x_next[a]
+        else:
+            c_s[0, :] = c_s[0, :] + c
+            ok_s[0, :] = ok_s[0, :] * okf
+            for a in range(n_x):
+                x_s[a, :] = x_next[a]
+
+        @pl.when(i == N - 1)
+        def _fin():
+            if multi:
+                cf = F_safe(x_next, p, N)
+                for idx, fn in enumerate(hfe_safe):
+                    hval = fn(x_next, p, N)
+                    cf = cf + _eq_penalty(mu_fe_ref[idx, :], hval, wpf)
+                for idx, fn in enumerate(hfi_safe):
+                    hval = fn(x_next, p, N)
+                    cf = cf + _ineq_penalty(mu_fi_ref[idx, :], hval, wpf)
+                costs_ref[...] = c_s[...] + cf
+                ok_ref[...] = ok_s[...] * jnp.isfinite(cf).astype(np_dtype)
+            else:
+                for a in range(n_x):
+                    xf_ref[a, :] = x_next[a]
+
+    return kernel
+
+
+def _whole_spec(a: Array):
+    nd = a.ndim
+    return pl.BlockSpec(a.shape, lambda i: (i - i,) * nd,
+                        memory_space=pltpu.VMEM)
+
+
+def _step_spec(a: Array):
+    nd = a.ndim
+
+    def idx(i):
+        z = i - i
+        return (i,) + (z,) * (nd - 1)
+
+    return pl.BlockSpec((1,) + a.shape[1:], idx, memory_space=pltpu.VMEM)
+
+
+def rollout_call(
+    problem: Problem,
+    alphas: tuple,
+    xnom_cm, unom_cm, l_cm, L_cm, mu_le_cm, mu_li_cm,
+    x0_cm, w_pen_l, w_pen_f, mu_fe_cm, mu_fi_cm, alpha_vec,
+    params: Any,
+    multi: bool,
+    interpret: bool = False,
+):
+    """Invoke one rollout kernel (multi-alpha cost sweep or selected rollout).
+
+    All array args are component-major (see module docstring)."""
+    N, n_x, B = xnom_cm.shape
+    n_u = unom_cm.shape[1]
+    dtype = xnom_cm.dtype
+    np_dtype = np.dtype(dtype.name)
+    A = len(alphas)
+
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    leaf_shapes = tuple(tuple(jnp.shape(x)) for x in leaves)
+    norm_leaves = [_normalize_leaf(x).astype(dtype) for x in leaves]
+
+    kernel = _make_rollout_kernel(
+        problem, N, alphas, leaf_shapes, np_dtype, multi, treedef
+    )
+
+    step_inputs = [xnom_cm, unom_cm, l_cm, L_cm]
+    if problem.n_hle:
+        step_inputs.append(mu_le_cm)
+    if problem.n_hli:
+        step_inputs.append(mu_li_cm)
+    fixed_inputs = [x0_cm, w_pen_l, w_pen_f]
+    if problem.n_hfe:
+        fixed_inputs.append(mu_fe_cm)
+    if problem.n_hfi:
+        fixed_inputs.append(mu_fi_cm)
+    if not multi:
+        fixed_inputs.append(alpha_vec)
+    fixed_inputs += norm_leaves
+
+    in_specs = [_step_spec(a) for a in step_inputs]
+    in_specs += [_whole_spec(a) for a in fixed_inputs]
+
+    if multi:
+        out_shape = [
+            jax.ShapeDtypeStruct((A, B), dtype),  # costs
+            jax.ShapeDtypeStruct((A, B), dtype),  # ok (0/1)
+        ]
+        fix2 = lambda i: (i - i, i - i)
+        out_specs = [
+            pl.BlockSpec((A, B), fix2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((A, B), fix2, memory_space=pltpu.VMEM),
+        ]
+        scratch = [
+            pltpu.VMEM((n_x * A, B), dtype),
+            pltpu.VMEM((A, B), dtype),
+            pltpu.VMEM((A, B), dtype),
+        ]
+    else:
+        rev2 = lambda i: (i, i - i, i - i)
+        fix2 = lambda i: (i - i, i - i)
+        out_shape = [
+            jax.ShapeDtypeStruct((N, n_x, B), dtype),  # xs steps
+            jax.ShapeDtypeStruct((n_x, B), dtype),  # x final
+            jax.ShapeDtypeStruct((N, n_u, B), dtype),  # us
+        ]
+        out_specs = [
+            pl.BlockSpec((1, n_x, B), rev2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_x, B), fix2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_u, B), rev2, memory_space=pltpu.VMEM),
+        ]
+        scratch = [
+            pltpu.VMEM((n_x, B), dtype),
+            pltpu.VMEM((1, B), dtype),
+            pltpu.VMEM((1, B), dtype),
+        ]
+
+    return pl.pallas_call(
+        kernel,
+        grid=(N,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(*step_inputs, *fixed_inputs)
+
+
+def _to_cm(a: Array) -> Array:
+    """(B, N, d...) -> (N, prod(d), B)."""
+    B, N = a.shape[:2]
+    return jnp.transpose(a.reshape(B, N, -1), (1, 2, 0))
+
+
+def pallas_line_search(
+    problem: Problem,
+    alphas: tuple,  # static float schedule
+    x0: Array,  # (B, n_x)
+    xs_nom: Array,  # (B, N+1, n_x)
+    us_nom: Array,  # (B, N, n_u)
+    l: Array,  # (B, N, n_u)
+    L_gain: Array,  # (B, N, n_u, n_x)
+    dV: Array,  # (B, 2)
+    cost: Array,  # (B,)
+    z_min: float,
+    params: Any,  # shared (unbatched) pytree
+    mu_le: Array,  # (B, N, n_hle)
+    mu_li: Array,
+    mu_fe: Array,  # (B, n_hfe)
+    mu_fi: Array,
+    w_pen_l: Array,  # (B,)
+    w_pen_f: Array,
+    interpret: bool = False,
+) -> LineSearchResult:
+    """Batched line search via the two fused rollout kernels.
+
+    Semantics identical to :func:`ops.linesearch.line_search` under vmap
+    (first-accepted-alpha; last-alpha numbers on total failure)."""
+    B, Np1, n_x = xs_nom.shape
+    N = Np1 - 1
+    n_u = us_nom.shape[-1]
+    dtype = us_nom.dtype
+    A = len(alphas)
+
+    pad = (-B) % 128
+    if pad:
+        padb = lambda a: jnp.concatenate(
+            [a, jnp.broadcast_to(a[:1], (pad,) + a.shape[1:])], axis=0
+        )
+        (x0, xs_nom, us_nom, l, L_gain, dV, cost, mu_le, mu_li, mu_fe,
+         mu_fi, w_pen_l, w_pen_f) = (
+            padb(a) for a in (x0, xs_nom, us_nom, l, L_gain, dV, cost,
+                              mu_le, mu_li, mu_fe, mu_fi, w_pen_l, w_pen_f)
+        )
+    Bp = B + pad
+
+    xnom_cm = _to_cm(xs_nom[:, :N])
+    unom_cm = _to_cm(us_nom)
+    l_cm = _to_cm(l)
+    L_cm = _to_cm(L_gain)
+    mu_le_cm = _to_cm(mu_le) if problem.n_hle else None
+    mu_li_cm = _to_cm(mu_li) if problem.n_hli else None
+    x0_cm = jnp.transpose(x0, (1, 0))
+    mu_fe_cm = jnp.transpose(mu_fe, (1, 0)) if problem.n_hfe else None
+    mu_fi_cm = jnp.transpose(mu_fi, (1, 0)) if problem.n_hfi else None
+    wpl = w_pen_l[None, :]
+    wpf = w_pen_f[None, :]
+
+    costs, okf = rollout_call(
+        problem, alphas, xnom_cm, unom_cm, l_cm, L_cm, mu_le_cm, mu_li_cm,
+        x0_cm, wpl, wpf, mu_fe_cm, mu_fi_cm, None, params,
+        multi=True, interpret=interpret,
+    )  # (A, Bp) each
+
+    # --- selection (line_search.c:41-54 under vmap) ---
+    al = jnp.asarray(np.asarray(alphas, np.dtype(dtype.name)))[:, None]  # (A,1)
+    dcost = cost[None, :] - costs
+    expected = -al * (dV[:, 0][None, :] + al * dV[:, 1][None, :])
+    z = jnp.where(expected > 0.0, dcost / jnp.where(expected > 0.0, expected, 1.0), 0.0)
+    accepted = (okf > 0.5) & (z > z_min)
+    idx_first = jnp.argmax(accepted, axis=0)  # (Bp,)
+    any_ok = jnp.any(accepted, axis=0)
+    idx = jnp.where(any_ok, idx_first, A - 1)
+
+    take = lambda m: jnp.take_along_axis(m, idx[None, :], axis=0)[0]
+    alpha_vec = take(jnp.broadcast_to(al, (A, Bp)))
+
+    xs_cm, xf_cm, us_cm = rollout_call(
+        problem, alphas, xnom_cm, unom_cm, l_cm, L_cm, mu_le_cm, mu_li_cm,
+        x0_cm, wpl, wpf, mu_fe_cm, mu_fi_cm, alpha_vec[None, :], params,
+        multi=False, interpret=interpret,
+    )
+
+    xs_full = jnp.concatenate([xs_cm, xf_cm[None]], axis=0)  # (N+1, n_x, Bp)
+    xs_out = jnp.transpose(xs_full, (2, 0, 1))
+    us_out = jnp.transpose(us_cm, (2, 0, 1))
+
+    res = LineSearchResult(
+        success=any_ok,
+        xs=xs_out,
+        us=us_out,
+        new_cost=take(costs),
+        dcost=take(dcost),
+        expected=take(expected),
+        z=take(z),
+        alpha_index=jnp.where(any_ok, idx, jnp.asarray(A, jnp.int32)).astype(
+            jnp.int32
+        ),
+    )
+    if pad:
+        res = jax.tree_util.tree_map(lambda a: a[:B], res)
+    return res

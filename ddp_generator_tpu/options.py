@@ -83,6 +83,14 @@ class SolverOptions:
     # solves (n_u <= 3; see ops/pallas_backpass.py) -- falls back to
     # "serial" for unbatched calls.
     backpass_method: str = "serial"
+    # "serial": vmap-of-scan rollouts (reference semantics, any backend);
+    # "pallas": the whole multi-alpha line search as two fused TPU kernels
+    # for batched solves (see ops/pallas_rollout.py) -- requires shared
+    # (unbatched) params; falls back to "serial" for unbatched calls.
+    # Uses slightly different transcendental implementations (asin & co,
+    # ops/pallas_math.py), so results may differ from "serial" at the
+    # float-roundoff level.
+    linesearch_method: str = "serial"
     # lax.scan unroll factor for the horizon sweeps (rollout + backward
     # pass); >1 trades compile time for less loop overhead on TPU.
     scan_unroll: int = 1
@@ -135,6 +143,8 @@ class SolverOptions:
             raise OptionError(
                 "backpass_method must be serial|parallel|pallas"
             )
+        if self.linesearch_method not in ("serial", "pallas"):
+            raise OptionError("linesearch_method must be serial|pallas")
 
     @property
     def n_alpha(self) -> int:

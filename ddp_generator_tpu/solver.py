@@ -208,6 +208,59 @@ def _make_parts(problem: Problem, options: SolverOptions):
             return back_pass(derivs, us, lam, o.regType, o.full_ddp, hyper,
                              unroll=o.scan_unroll)
 
+    def _serial_line_search(x0, xs, us, l, L, dV, cost,
+                            mle, mli, mfe, mfi, wl, wf, params):
+        return line_search(
+            problem, jnp.asarray(o.alpha, dtype), x0, xs, us, l, L, dV,
+            cost, o.zMin, params, mle, mli, mfe, mfi, wl, wf,
+            unroll=o.scan_unroll,
+        )
+
+    if o.linesearch_method == "pallas":
+        from jax import custom_batching
+
+        from .ops.pallas_rollout import pallas_line_search
+
+        _ls_interp = jax.default_backend() != "tpu"
+        _alphas_static = tuple(float(a) for a in o.alpha)
+
+        @custom_batching.custom_vmap
+        def _run_line_search(x0, xs, us, l, L, dV, cost,
+                             mle, mli, mfe, mfi, wl, wf, params):
+            # Unbatched (per-instance) calls keep the serial XLA path.
+            return _serial_line_search(x0, xs, us, l, L, dV, cost,
+                                       mle, mli, mfe, mfi, wl, wf, params)
+
+        @_run_line_search.def_vmap
+        def _ls_vmap_rule(axis_size, in_batched, *operands):
+            *arrs, params_op = operands
+            *arrs_b, params_b = in_batched
+
+            def bc(x, b):
+                return x if b else jnp.broadcast_to(
+                    jnp.asarray(x)[None], (axis_size,) + jnp.shape(x)
+                )
+
+            arrs = [bc(a, b) for a, b in zip(arrs, arrs_b)]
+            if any(jax.tree_util.tree_leaves(params_b)):
+                # Per-lane params: fall back to the vmapped XLA path (the
+                # kernel closes over a single shared params pytree).
+                params_bc = jax.tree_util.tree_map(bc, params_op, params_b)
+                out = jax.vmap(_serial_line_search)(*arrs, params_bc)
+            else:
+                (x0, xs, us, l, L, dV, cost,
+                 mle, mli, mfe, mfi, wl, wf) = arrs
+                out = pallas_line_search(
+                    problem, _alphas_static, x0, xs, us, l, L, dV, cost,
+                    o.zMin, params_op, mle, mli, mfe, mfi, wl, wf,
+                    interpret=_ls_interp,
+                )
+            out_batched = jax.tree_util.tree_map(lambda _: True, out)
+            return out, out_batched
+
+    else:
+        _run_line_search = _serial_line_search
+
     def init_fn(x0: Array, u0: Array, params: Any) -> _Carry:
         x0 = jnp.asarray(x0, dtype)
         u0 = jnp.asarray(u0, dtype)
@@ -274,7 +327,6 @@ def _make_parts(problem: Problem, options: SolverOptions):
 
     def body_fn(c: _Carry, params: Any) -> _Carry:
         params = cast_params(params)
-        alphas = jnp.asarray(o.alpha, dtype)
         w_pen_max_l = jnp.asarray(o.w_pen_max_l, dtype)
         w_pen_max_f = jnp.asarray(o.w_pen_max_f, dtype)
         x0 = c.xs[0]
@@ -335,11 +387,10 @@ def _make_parts(problem: Problem, options: SolverOptions):
         alive = alive & ~grad_exit
 
         # ===== STEP 3: line search (iLQG.c:305-309) =====
-        ls = line_search(
-            problem, alphas, x0, c.xs, c.us, bp.l, bp.L, bp.dV, c.cost,
-            o.zMin, params,
+        ls = _run_line_search(
+            x0, c.xs, c.us, bp.l, bp.L, bp.dV, c.cost,
             c.mult.mu_le, c.mult.mu_li, c.mult.mu_fe, c.mult.mu_fi,
-            c.w_pen_l, c.w_pen_f, unroll=o.scan_unroll,
+            c.w_pen_l, c.w_pen_f, params,
         )
         log_linesearch = jnp.where(
             alive,

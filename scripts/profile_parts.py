@@ -46,7 +46,9 @@ if __name__ == "__main__":
     log(f"backend={jax.default_backend()} B={B} K={K} dtype={dtype}")
 
     problem = car_parking.car_parking()
-    o = ddp.SolverOptions(max_iter=200, dtype=dtype, tolFun=1e-5)
+    bp_method = "pallas" if jax.default_backend() == "tpu" else "serial"
+    o = ddp.SolverOptions(max_iter=200, dtype=dtype, tolFun=1e-5,
+                          backpass_method=bp_method)
     hyper = slv._boxqp_hyper(o)
 
     p, x0, _ = car_parking.default_setup(T=T, seed=0)

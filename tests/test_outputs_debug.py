@@ -64,3 +64,44 @@ def test_timer_and_bench():
     dt, out = bench_fn(f, x, repeats=2)
     assert dt >= 0
     np.testing.assert_allclose(out, 2.0)
+
+
+def test_backpass_trace_matches_solver_pass():
+    """debugging.backpass_trace must reproduce the in-loop backward pass
+    exactly (same l/L/dV/g_norm) while exposing every intermediate."""
+    import jax.numpy as jnp
+    import numpy as np
+    import ddp_generator_tpu as ddp
+    from ddp_generator_tpu.debugging import backpass_trace, format_backpass_step
+    from ddp_generator_tpu.derivs import calc_derivs
+    from ddp_generator_tpu.ops.backpass import back_pass
+    from ddp_generator_tpu.al import init_multipliers
+    from ddp_generator_tpu.models import car_parking
+    from ddp_generator_tpu.solver import _boxqp_hyper
+
+    prob = car_parking.car_parking()
+    p, x0, _ = car_parking.default_setup(T=40)
+    o = ddp.SolverOptions(max_iter=5)
+    rng = np.random.default_rng(1)
+    u0 = jnp.asarray(0.1 * rng.standard_normal((40, 2)))
+    sol = ddp.solve(prob, x0, u0, p, o)
+    xs, us = sol.xs, sol.us
+    lam = 0.1
+
+    tr = backpass_trace(prob, o, xs, us, lam, p)
+    mult = init_multipliers(prob, 40, jnp.float64)
+    derivs = calc_derivs(prob, xs, us, p, mult.mu_le, mult.mu_li,
+                         mult.mu_fe, mult.mu_fi, jnp.asarray(1.0),
+                         jnp.asarray(1.0), o.full_ddp)
+    bp = back_pass(derivs, us, jnp.asarray(lam), o.regType, o.full_ddp,
+                   _boxqp_hyper(o))
+    np.testing.assert_allclose(np.asarray(tr.l), np.asarray(bp.l), atol=1e-14)
+    np.testing.assert_allclose(np.asarray(tr.L), np.asarray(bp.L), atol=1e-14)
+    np.testing.assert_allclose(np.asarray(tr.dV.sum(0)), np.asarray(bp.dV),
+                               atol=1e-12)
+    np.testing.assert_allclose(float(tr.g.sum() / (40 - 1)),
+                               float(bp.g_norm), rtol=1e-12)
+    # the formatted dump mentions the key quantities
+    s = format_backpass_step(tr, 3)
+    for key in ("Qu", "Quu", "QuuF", "boxQP res", "l=", "L="):
+        assert key in s

@@ -1,0 +1,172 @@
+"""Fused Pallas line-search kernels vs the XLA path (interpret mode on CPU).
+
+Covers pallas_math substitutions, the multi-alpha cost sweep + selected
+rollout pair, and end-to-end solver equivalence with
+``linesearch_method='pallas'``.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import ddp_generator_tpu as ddp
+from ddp_generator_tpu.al import init_multipliers
+from ddp_generator_tpu.derivs import calc_derivs
+from ddp_generator_tpu.models import brachistochrone, car_parking
+from ddp_generator_tpu.ops.backpass import back_pass
+from ddp_generator_tpu.ops.linesearch import line_search
+from ddp_generator_tpu.ops.pallas_math import asin, atan, atan2, pallas_safe
+from ddp_generator_tpu.ops.pallas_rollout import pallas_line_search
+from ddp_generator_tpu.solver import _boxqp_hyper
+
+
+def test_pallas_math_substitutions():
+    x = jnp.asarray(np.linspace(-0.999, 0.999, 2001))
+    np.testing.assert_allclose(np.asarray(asin(x)), np.arcsin(x), atol=3e-8)
+    y = jnp.asarray(np.linspace(-5, 5, 2001))
+    np.testing.assert_allclose(np.asarray(atan(y)), np.arctan(y), atol=5e-8)
+    np.testing.assert_allclose(
+        np.asarray(atan2(y, x[::-1] * 3)), np.arctan2(y, x[::-1] * 3),
+        atol=1e-7,
+    )
+
+    def fn(a):
+        return jnp.arcsin(a) * jnp.arccos(a) + jnp.arctan2(a, 1.0 + a * a)
+
+    got = pallas_safe(fn)(x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(fn(x)), atol=3e-7)
+
+
+def _ls_inputs(problem, p, x0, T, B, dtype=jnp.float64, seed=0, u0s=None):
+    """Realistic line-search inputs: derivs + backpass on the init rollout."""
+    o = ddp.SolverOptions()
+    p = jax.tree_util.tree_map(lambda a: jnp.asarray(a, dtype), p)
+    rng = np.random.default_rng(seed)
+    x0s = jnp.asarray(np.tile(np.asarray(x0), (B, 1)), dtype)
+    if u0s is None:
+        u0s = 0.1 * rng.standard_normal((B, T, problem.n_u))
+    u0s = jnp.asarray(u0s, dtype)
+    mult = init_multipliers(problem, T, dtype)
+    one = jnp.asarray(1.0, dtype)
+
+    from ddp_generator_tpu.ops.forward import forward_pass
+
+    def one_lane(x0_, u0_):
+        zl = jnp.zeros((T, problem.n_u), dtype)
+        zL = jnp.zeros((T, problem.n_u, problem.n_x), dtype)
+        r = forward_pass(problem, x0_, jnp.zeros((T + 1, problem.n_x), dtype),
+                         u0_, zl, zL, jnp.zeros((), dtype), p,
+                         mult.mu_le, mult.mu_li, mult.mu_fe, mult.mu_fi,
+                         one, one)
+        d = calc_derivs(problem, r.xs, r.us, p, mult.mu_le, mult.mu_li,
+                        mult.mu_fe, mult.mu_fi, one, one, True)
+        bp = back_pass(d, r.us, jnp.asarray(1.0, dtype), 1, True,
+                       _boxqp_hyper(o))
+        return r.xs, r.us, r.cost, bp.l, bp.L, bp.dV
+
+    xs, us, cost, l, L, dV = jax.vmap(one_lane)(x0s, u0s)
+    B_ = B
+    mu_le = jnp.broadcast_to(mult.mu_le[None], (B_,) + mult.mu_le.shape)
+    mu_li = jnp.broadcast_to(mult.mu_li[None], (B_,) + mult.mu_li.shape)
+    mu_fe = jnp.broadcast_to(mult.mu_fe[None], (B_,) + mult.mu_fe.shape)
+    mu_fi = jnp.broadcast_to(mult.mu_fi[None], (B_,) + mult.mu_fi.shape)
+    ones = jnp.ones((B_,), dtype)
+    return (x0s, xs, us, l, L, dV, cost, mu_le, mu_li, mu_fe, mu_fi,
+            ones, ones)
+
+
+@pytest.mark.parametrize("model", ["car", "brachi_hli"])
+def test_pallas_line_search_matches_xla(model):
+    """Accepted alpha and numbers agree with the vmapped XLA line search on a
+    real (post-backpass) line-search problem, success path included."""
+    if model == "car":
+        problem = car_parking.car_parking()
+        p, x0, _ = car_parking.default_setup(T=30)
+    else:
+        problem = brachistochrone.brachistochrone_hli()
+        p, x0, u0 = brachistochrone.default_setup_hli(30)
+    B, T = 4, 30
+    p = jax.tree_util.tree_map(lambda a: jnp.asarray(a, jnp.float64), p)
+    u0s = None
+    if model == "brachi_hli":
+        # feasible descending-slope controls (the brachistochrone dynamics
+        # need y decreasing; random u gives all-NaN rollouts = no acceptance)
+        rng = np.random.default_rng(2)
+        u0s = -np.abs(rng.uniform(0.5, 1.5, (B, T, 1)))
+    args = _ls_inputs(problem, p, x0, T, B, u0s=u0s)
+    alphas = tuple(ddp.DEFAULT_ALPHA)
+    av = jnp.asarray(alphas, jnp.float64)
+
+    ref = jax.vmap(
+        lambda x0_, xs_, us_, l_, L_, dV_, c_, mle, mli, mfe, mfi, wl, wf:
+        line_search(problem, av, x0_, xs_, us_, l_, L_, dV_, c_, 0.0, p,
+                    mle, mli, mfe, mfi, wl, wf)
+    )(*args)
+    got = pallas_line_search(problem, alphas, *args[:7], 0.0, p, *args[7:],
+                             interpret=True)
+
+    assert bool(jnp.any(ref.success)), "fixture should exercise acceptance"
+    np.testing.assert_array_equal(np.asarray(ref.success),
+                                  np.asarray(got.success))
+    np.testing.assert_array_equal(np.asarray(ref.alpha_index),
+                                  np.asarray(got.alpha_index))
+    np.testing.assert_allclose(np.asarray(ref.new_cost),
+                               np.asarray(got.new_cost), rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ref.xs), np.asarray(got.xs),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ref.us), np.asarray(got.us),
+                               atol=1e-5)
+
+
+def test_pallas_line_search_pads_odd_batch():
+    problem = car_parking.car_parking()
+    p, x0, _ = car_parking.default_setup(T=20)
+    B, T = 3, 20  # not a multiple of 128 -> lane padding path
+    args = _ls_inputs(problem, p, x0, T, B)
+    alphas = tuple(ddp.DEFAULT_ALPHA)
+    got = pallas_line_search(problem, alphas, *args[:7], 0.0, p, *args[7:],
+                             interpret=True)
+    assert got.new_cost.shape == (B,)
+    assert got.xs.shape == (B, T + 1, 4)
+
+
+def test_solver_with_pallas_linesearch_end_to_end():
+    problem = car_parking.car_parking()
+    p, x0, _ = car_parking.default_setup(T=40)
+    B, T = 4, 40
+    rng = np.random.default_rng(0)
+    x0s = np.tile(np.asarray(x0), (B, 1))
+    u0s = 0.1 * rng.standard_normal((B, T, 2))
+    s_ser = ddp.make_batched_solver(
+        problem, ddp.SolverOptions(max_iter=30))(x0s, u0s, p)
+    s_pal = ddp.make_batched_solver(
+        problem, ddp.SolverOptions(max_iter=30, linesearch_method="pallas")
+    )(x0s, u0s, p)
+    assert np.all(np.asarray(s_pal.success))
+    np.testing.assert_allclose(np.asarray(s_pal.cost), np.asarray(s_ser.cost),
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(s_pal.us), np.asarray(s_ser.us),
+                               atol=2e-3)
+
+
+def test_pallas_linesearch_batched_params_falls_back():
+    """Per-lane params take the vmapped XLA fallback inside the custom_vmap
+    rule -- results must match the serial method exactly."""
+    problem = car_parking.car_parking()
+    p, x0, _ = car_parking.default_setup(T=20)
+    B, T = 3, 20
+    rng = np.random.default_rng(1)
+    x0s = np.tile(np.asarray(x0), (B, 1))
+    u0s = 0.1 * rng.standard_normal((B, T, 2))
+    pb = {k: np.tile(np.asarray(v, np.float64), (B,) + (1,) * np.ndim(v))
+          for k, v in p.items()}
+    s_ser = ddp.make_batched_solver(
+        problem, ddp.SolverOptions(max_iter=20), batch_params=True
+    )(x0s, u0s, pb)
+    s_pal = ddp.make_batched_solver(
+        problem, ddp.SolverOptions(max_iter=20, linesearch_method="pallas"),
+        batch_params=True,
+    )(x0s, u0s, pb)
+    np.testing.assert_array_equal(np.asarray(s_pal.cost),
+                                  np.asarray(s_ser.cost))
