@@ -44,6 +44,11 @@ def main():
         "kernels on TPU; vmap-of-scan elsewhere)",
     )
     ap.add_argument(
+        "--compile-cache", action="store_true",
+        help="enable the persistent XLA compile cache (slow on relayed "
+        "TPU backends; see comment in main)",
+    )
+    ap.add_argument(
         "--chunk", type=int, default=10,
         help="iterations per device call (bounds device-program duration; "
         "some TPU runtimes watchdog-kill minutes-long programs)",
@@ -55,13 +60,15 @@ def main():
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_enable_x64", True)
-    # Persistent compile cache: remote-compiled TPU backends pay tens of
-    # seconds per program; cache across bench runs.
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception as e:  # config name drift across jax versions
-        log(f"compile cache not enabled: {e}")
+    if args.compile_cache:
+        # NB: measured counterproductive on the axon-relayed TPU backend --
+        # cache serialization stalls each program for minutes (first run
+        # 376s WITH cache vs 39s without, identical code); off by default.
+        try:
+            jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        except Exception as e:  # config name drift across jax versions
+            log(f"compile cache not enabled: {e}")
 
     platform = jax.devices()[0].platform
     dtype = args.dtype or ("float64" if platform == "cpu" else "float32")

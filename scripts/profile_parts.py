@@ -46,9 +46,12 @@ if __name__ == "__main__":
     log(f"backend={jax.default_backend()} B={B} K={K} dtype={dtype}")
 
     problem = car_parking.car_parking()
-    bp_method = "pallas" if jax.default_backend() == "tpu" else "serial"
+    on_tpu = jax.default_backend() == "tpu"
+    bp_method = "pallas" if on_tpu else "serial"
+    ls_method = "pallas" if on_tpu else "serial"
     o = ddp.SolverOptions(max_iter=200, dtype=dtype, tolFun=1e-5,
-                          backpass_method=bp_method)
+                          backpass_method=bp_method,
+                          linesearch_method=ls_method)
     hyper = slv._boxqp_hyper(o)
 
     p, x0, _ = car_parking.default_setup(T=T, seed=0)
@@ -144,6 +147,21 @@ if __name__ == "__main__":
                  bp0.l, bp0.L, bp0.dV, carry.cost, mult, wl, wf)
         return acc + ls.new_cost * 1e-30
     timeK("line_search (8 alphas)", loopK(step_ls))
+
+    # ---- pallas line_search ----
+    from ddp_generator_tpu.ops.pallas_rollout import pallas_line_search
+    alpha_tuple = tuple(float(a) for a in o.alpha)
+    wl_b = jnp.broadcast_to(wl, (B,))
+    wf_b = jnp.broadcast_to(wf, (B,))
+
+    def step_pls(i, acc):
+        ls = pallas_line_search(
+            problem, alpha_tuple, carry.xs[:, 0], carry.xs,
+            carry.us + 1e-30 * acc[:, None, None], bp0.l, bp0.L, bp0.dV,
+            carry.cost, o.zMin, p, mult.mu_le, mult.mu_li, mult.mu_fe,
+            mult.mu_fi, wl_b, wf_b, interpret=interp)
+        return acc + ls.new_cost * 1e-30
+    timeK("line_search_pallas", loopK(step_pls))
 
     # ---- forward_pass (1 alpha) ----
     vfp = jax.vmap(
