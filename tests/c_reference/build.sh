@@ -20,4 +20,12 @@ gcc -O2 -DFULL_DDP=1 -DHAVE_OCTAVE -DMULTI_THREADED=0 -DPRNT=printf \
     "$REF_DIR/cholesky.c" "$REF_DIR/line_search.c" "$REF_DIR/matMult.c" \
     "$REF_DIR/printMat.c" \
     -lm -o "$OUT_DIR/ilqg_car"
-echo "built $OUT_DIR/ilqg_car"
+
+gcc -O2 -DFULL_DDP=1 -DHAVE_OCTAVE -DMULTI_THREADED=0 -DPRNT=printf \
+    -I"$OUT_DIR" -I"$HERE" -I"$REF_DIR" \
+    "$HERE/dump_derivs.c" "$OUT_DIR/iLQG_func.c" \
+    "$REF_DIR/iLQG.c" "$REF_DIR/back_pass.c" "$REF_DIR/boxQP.c" \
+    "$REF_DIR/cholesky.c" "$REF_DIR/line_search.c" "$REF_DIR/matMult.c" \
+    "$REF_DIR/printMat.c" \
+    -lm -o "$OUT_DIR/dump_derivs_car"
+echo "built $OUT_DIR/ilqg_car $OUT_DIR/dump_derivs_car"
