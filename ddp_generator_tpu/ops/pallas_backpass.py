@@ -113,8 +113,188 @@ def _sym_solve_small(H, rhs, free, n):
     return x, ok, iv
 
 
+def riccati_step(
+    NX: int,
+    NU: int,
+    reg_type: int,
+    full_ddp: bool,
+    fx, fu, cx, cu, cxx, cuu, cxu,  # nested lists of (B,) lane vectors
+    fxx, fuu, fxu,  # [i][a][b] nested lists (None when not full_ddp)
+    lower, upper, lo_hx, up_hx, lo_s, up_s,  # lists / nested lists
+    u_k,  # list of (B,)
+    lam,  # (B,)
+    Vx, Vxx,  # carry component lists
+):
+    """One backward-recursion step on component lane-vectors.
+
+    The shared math of the streamed-derivative kernel (below) and the fused
+    derivs+backpass kernel (``pallas_fused.py``): Q-build, regularization,
+    exact active-set boxQP, clamped-gain assembly, value update, dV and
+    g_norm contributions -- ``back_pass.c:80-251`` semantics exactly.
+
+    Returns ``(l_k, L_k, dv0, dv1, Vx_new, Vxx_new, g_k, step_failed_f)``
+    where ``step_failed_f`` is a float 0/1 mask.
+    """
+    pats = _patterns(NU)
+
+    # Q builds (back_pass.c:80-131)
+    vfx = [[sum(Vxx[a][i_] * fx[i_][b] for i_ in range(NX)) for b in range(NX)]
+           for a in range(NX)]
+    vfu = [[sum(Vxx[a][i_] * fu[i_][b] for i_ in range(NX)) for b in range(NU)]
+           for a in range(NX)]
+    Qu = [cu[a] + sum(fu[i_][a] * Vx[i_] for i_ in range(NX)) for a in range(NU)]
+    Qx = [cx[a] + sum(fx[i_][a] * Vx[i_] for i_ in range(NX)) for a in range(NX)]
+    Qxu = [[cxu[a][b] + sum(fx[i_][a] * vfu[i_][b] for i_ in range(NX))
+            for b in range(NU)] for a in range(NX)]
+    Quu = [[cuu[a][b] + sum(fu[i_][a] * vfu[i_][b] for i_ in range(NX))
+            for b in range(NU)] for a in range(NU)]
+    Qxx = [[cxx[a][b] + sum(fx[i_][a] * vfx[i_][b] for i_ in range(NX))
+            for b in range(NX)] for a in range(NX)]
+    if full_ddp:
+        for a in range(NX):
+            for b in range(NU):
+                Qxu[a][b] = Qxu[a][b] + sum(
+                    Vx[i_] * fxu[i_][a][b] for i_ in range(NX)
+                )
+        for a in range(NU):
+            for b in range(NU):
+                Quu[a][b] = Quu[a][b] + sum(
+                    Vx[i_] * fuu[i_][a][b] for i_ in range(NX)
+                )
+        for a in range(NX):
+            for b in range(NX):
+                Qxx[a][b] = Qxx[a][b] + sum(
+                    Vx[i_] * fxx[i_][a][b] for i_ in range(NX)
+                )
+
+    # regularization (back_pass.c:133-159)
+    if reg_type == 2:
+        QuuF = [[Quu[a][b] + lam * sum(fu[i_][a] * fu[i_][b] for i_ in range(NX))
+                 for b in range(NU)] for a in range(NU)]
+        Qxu_reg = [[Qxu[a][b] + lam * sum(fx[i_][a] * fu[i_][b] for i_ in range(NX))
+                    for b in range(NU)] for a in range(NX)]
+    else:
+        QuuF = [[Quu[a][b] + lam if a == b else Quu[a][b]
+                 for b in range(NU)] for a in range(NU)]
+        Qxu_reg = Qxu
+
+    finite_lo = [jnp.isfinite(lower[a]) for a in range(NU)]
+    finite_up = [jnp.isfinite(upper[a]) for a in range(NU)]
+    Hd = {(a, b): QuuF[a][b] for a in range(NU) for b in range(a, NU)}
+
+    zeros = jnp.zeros_like(Qu[0])
+    ones = jnp.ones_like(zeros)
+    # full-H PD gate (boxqp_enumerate)
+    _, pd_full, _ = _sym_solve_small(Hd, Qu, tuple([True] * NU), NU)
+
+    # Persistent selection state as float 0/1 masks (see module doc).
+    best_valid = zeros  # 0/1
+    best_x = [zeros for _ in range(NU)]
+    best_cl_lo = [zeros for _ in range(NU)]
+    best_cl_up = [zeros for _ in range(NU)]
+    best_inv = {(a, b): zeros for a in range(NU) for b in range(NU)}
+
+    for pat in pats:
+        free = tuple(v == 0 for v in pat)
+        at_lo = tuple(v == 1 for v in pat)
+        at_up = tuple(v == 2 for v in pat)
+        bound_ok = None
+        xc = []
+        for a in range(NU):
+            if at_lo[a]:
+                ok_a = finite_lo[a]
+                xc.append(jnp.where(ok_a, lower[a], 0.0))
+            elif at_up[a]:
+                ok_a = finite_up[a]
+                xc.append(jnp.where(ok_a, upper[a], 0.0))
+            else:
+                ok_a = None
+                xc.append(zeros)
+            if ok_a is not None:
+                bound_ok = ok_a if bound_ok is None else (bound_ok & ok_a)
+
+        # rhs = -(g + H xc) (full), solve on free block
+        Hxc = [
+            sum(Hd[(min(a, b), max(a, b))] * xc[b] for b in range(NU))
+            for a in range(NU)
+        ]
+        rhs = [-(Qu[a] + Hxc[a]) for a in range(NU)]
+        xf, pd_ok, iv = _sym_solve_small(Hd, rhs, free, NU)
+        x = [xf[a] if free[a] else xc[a] for a in range(NU)]
+        grad = [
+            Qu[a] + sum(Hd[(min(a, b), max(a, b))] * x[b] for b in range(NU))
+            for a in range(NU)
+        ]
+        kkt = pd_ok if bound_ok is None else (bound_ok & pd_ok)
+        for a in range(NU):
+            if free[a]:
+                kkt = kkt & (x[a] >= lower[a]) & (x[a] <= upper[a])
+            elif at_lo[a]:
+                kkt = kkt & (grad[a] >= 0.0)
+            else:
+                kkt = kkt & (grad[a] <= 0.0)
+        take = jnp.where(kkt, 1.0 - best_valid, zeros)  # 0/1 float
+        for a in range(NU):
+            best_x[a] = best_x[a] + take * (x[a] - best_x[a])
+            if at_lo[a]:
+                best_cl_lo[a] = best_cl_lo[a] + take * (ones - best_cl_lo[a])
+            if at_up[a]:
+                best_cl_up[a] = best_cl_up[a] + take * (ones - best_cl_up[a])
+            for b in range(NU):
+                best_inv[(a, b)] = best_inv[(a, b)] + take * (
+                    iv(a, b) - best_inv[(a, b)]
+                )
+        best_valid = best_valid + take
+
+    step_failed_f = jnp.where(pd_full, ones - best_valid, ones)  # 0/1
+    l_k = best_x
+
+    # D[j,:] = sign_j * hx_j for clamped j (back_pass.c:193-199)
+    D = [[best_cl_lo[a] * lo_s[a] * lo_hx[a][b]
+          + best_cl_up[a] * up_s[a] * up_hx[a][b]
+          for b in range(NX)] for a in range(NU)]
+
+    # L = -invH (Qxu_reg^T - QuuF D) - D
+    M = [[Qxu_reg[b][a] - sum(QuuF[a][c] * D[c][b] for c in range(NU))
+          for b in range(NX)] for a in range(NU)]  # (NU, NX)
+    L_k = [[-sum(best_inv[(a, c)] * M[c][b] for c in range(NU)) - D[a][b]
+            for b in range(NX)] for a in range(NU)]
+
+    # dV += [l.Qu, 0.5 l.Quu.l] (back_pass.c:204-215)
+    dv0 = sum(l_k[a] * Qu[a] for a in range(NU))
+    dv1 = 0.5 * sum(
+        l_k[a] * Quu[a][b] * l_k[b] for a in range(NU) for b in range(NU)
+    )
+
+    # value update with UNregularized Quu/Qxu (back_pass.c:217-241)
+    Quu_l = [sum(Quu[a][b] * l_k[b] for b in range(NU)) for a in range(NU)]
+    Vx_new = [
+        Qx[a]
+        + sum(L_k[c][a] * (Quu_l[c] + Qu[c]) for c in range(NU))
+        + sum(Qxu[a][c] * l_k[c] for c in range(NU))
+        for a in range(NX)
+    ]
+    LQuu = [[sum(L_k[c][a] * Quu[c][d] for c in range(NU)) for d in range(NU)]
+            for a in range(NX)]
+    Vxx_new = [[
+        Qxx[a][b]
+        + sum(LQuu[a][d] * L_k[d][b] for d in range(NU))
+        + sum(L_k[c][a] * Qxu[b][c] for c in range(NU))
+        + sum(Qxu[a][c] * L_k[c][b] for c in range(NU))
+        for b in range(NX)] for a in range(NX)]
+    # symmetrize
+    Vxx_new = [[0.5 * (Vxx_new[a][b] + Vxx_new[b][a]) for b in range(NX)]
+               for a in range(NX)]
+
+    # g_norm contribution: max_a |l_a| / (|u_a|+1) (back_pass.c:244-251)
+    g_k = jnp.abs(l_k[0]) / (jnp.abs(u_k[0]) + 1.0)
+    for a in range(1, NU):
+        g_k = jnp.maximum(g_k, jnp.abs(l_k[a]) / (jnp.abs(u_k[a]) + 1.0))
+
+    return l_k, L_k, dv0, dv1, Vx_new, Vxx_new, g_k, step_failed_f
+
+
 def _make_kernel(n_x: int, n_u: int, reg_type: int, full_ddp: bool, N: int):
-    pats = _patterns(n_u)
     NX, NU = n_x, n_u
 
     def kernel(
@@ -168,168 +348,33 @@ def _make_kernel(n_x: int, n_u: int, reg_type: int, full_ddp: bool, N: int):
         cxx = [[cxx_ref[0, XX(a, b), :] for b in range(NX)] for a in range(NX)]
         cuu = [[cuu_ref[0, UU(a, b), :] for b in range(NU)] for a in range(NU)]
         cxu = [[cxu_ref[0, XU(a, b), :] for b in range(NU)] for a in range(NX)]
-
-        # Q builds (back_pass.c:80-131)
-        # Vxx @ fx and Vxx @ fu
-        vfx = [[sum(Vxx[a][i_] * fx[i_][b] for i_ in range(NX)) for b in range(NX)]
-               for a in range(NX)]
-        vfu = [[sum(Vxx[a][i_] * fu[i_][b] for i_ in range(NX)) for b in range(NU)]
-               for a in range(NX)]
-        Qu = [cu[a] + sum(fu[i_][a] * Vx[i_] for i_ in range(NX)) for a in range(NU)]
-        Qx = [cx[a] + sum(fx[i_][a] * Vx[i_] for i_ in range(NX)) for a in range(NX)]
-        Qxu = [[cxu[a][b] + sum(fx[i_][a] * vfu[i_][b] for i_ in range(NX))
-                for b in range(NU)] for a in range(NX)]
-        Quu = [[cuu[a][b] + sum(fu[i_][a] * vfu[i_][b] for i_ in range(NX))
-                for b in range(NU)] for a in range(NU)]
-        Qxx = [[cxx[a][b] + sum(fx[i_][a] * vfx[i_][b] for i_ in range(NX))
-                for b in range(NX)] for a in range(NX)]
         if full_ddp:
-            # flattened (i, a, b) row-major indices into the C axis
-            for a in range(NX):
-                for b in range(NU):
-                    Qxu[a][b] = Qxu[a][b] + sum(
-                        Vx[i_] * fxu_ref[0, (i_ * NX + a) * NU + b, :]
-                        for i_ in range(NX)
-                    )
-            for a in range(NU):
-                for b in range(NU):
-                    Quu[a][b] = Quu[a][b] + sum(
-                        Vx[i_] * fuu_ref[0, (i_ * NU + a) * NU + b, :]
-                        for i_ in range(NX)
-                    )
-            for a in range(NX):
-                for b in range(NX):
-                    Qxx[a][b] = Qxx[a][b] + sum(
-                        Vx[i_] * fxx_ref[0, (i_ * NX + a) * NX + b, :]
-                        for i_ in range(NX)
-                    )
-
-        # regularization (back_pass.c:133-159)
-        if reg_type == 2:
-            QuuF = [[Quu[a][b] + lam * sum(fu[i_][a] * fu[i_][b] for i_ in range(NX))
-                     for b in range(NU)] for a in range(NU)]
-            Qxu_reg = [[Qxu[a][b] + lam * sum(fx[i_][a] * fu[i_][b] for i_ in range(NX))
-                        for b in range(NU)] for a in range(NX)]
+            # flattened (i, a, b) row-major indices on the C axis
+            fxx = [[[fxx_ref[0, (i_ * NX + a) * NX + b, :] for b in range(NX)]
+                    for a in range(NX)] for i_ in range(NX)]
+            fuu = [[[fuu_ref[0, (i_ * NU + a) * NU + b, :] for b in range(NU)]
+                    for a in range(NU)] for i_ in range(NX)]
+            fxu = [[[fxu_ref[0, (i_ * NX + a) * NU + b, :] for b in range(NU)]
+                    for a in range(NX)] for i_ in range(NX)]
         else:
-            QuuF = [[Quu[a][b] + lam if a == b else Quu[a][b]
-                     for b in range(NU)] for a in range(NU)]
-            Qxu_reg = Qxu
-
+            fxx = fuu = fxu = None
         lower = [lower_ref[0, a, :] for a in range(NU)]
         upper = [upper_ref[0, a, :] for a in range(NU)]
-        finite_lo = [jnp.isfinite(lower[a]) for a in range(NU)]
-        finite_up = [jnp.isfinite(upper[a]) for a in range(NU)]
-        Hd = {(a, b): QuuF[a][b] for a in range(NU) for b in range(a, NU)}
-
-        zeros = jnp.zeros_like(Qu[0])
-        ones = jnp.ones_like(zeros)
-        # full-H PD gate (boxqp_enumerate)
-        _, pd_full, _ = _sym_solve_small(Hd, Qu, tuple([True] * NU), NU)
-
-        # Persistent selection state as float 0/1 masks (see module doc).
-        best_valid = zeros  # 0/1
-        best_x = [zeros for _ in range(NU)]
-        best_cl_lo = [zeros for _ in range(NU)]
-        best_cl_up = [zeros for _ in range(NU)]
-        best_inv = {(a, b): zeros for a in range(NU) for b in range(NU)}
-
-        for pat in pats:
-            free = tuple(v == 0 for v in pat)
-            at_lo = tuple(v == 1 for v in pat)
-            at_up = tuple(v == 2 for v in pat)
-            bound_ok = None
-            xc = []
-            for a in range(NU):
-                if at_lo[a]:
-                    ok_a = finite_lo[a]
-                    xc.append(jnp.where(ok_a, lower[a], 0.0))
-                elif at_up[a]:
-                    ok_a = finite_up[a]
-                    xc.append(jnp.where(ok_a, upper[a], 0.0))
-                else:
-                    ok_a = None
-                    xc.append(zeros)
-                if ok_a is not None:
-                    bound_ok = ok_a if bound_ok is None else (bound_ok & ok_a)
-
-            # rhs = -(g + H xc) (full), solve on free block
-            Hxc = [
-                sum(Hd[(min(a, b), max(a, b))] * xc[b] for b in range(NU))
-                for a in range(NU)
-            ]
-            rhs = [-(Qu[a] + Hxc[a]) for a in range(NU)]
-            xf, pd_ok, iv = _sym_solve_small(Hd, rhs, free, NU)
-            x = [xf[a] if free[a] else xc[a] for a in range(NU)]
-            grad = [
-                Qu[a] + sum(Hd[(min(a, b), max(a, b))] * x[b] for b in range(NU))
-                for a in range(NU)
-            ]
-            kkt = pd_ok if bound_ok is None else (bound_ok & pd_ok)
-            for a in range(NU):
-                if free[a]:
-                    kkt = kkt & (x[a] >= lower[a]) & (x[a] <= upper[a])
-                elif at_lo[a]:
-                    kkt = kkt & (grad[a] >= 0.0)
-                else:
-                    kkt = kkt & (grad[a] <= 0.0)
-            take = jnp.where(kkt, 1.0 - best_valid, zeros)  # 0/1 float
-            for a in range(NU):
-                best_x[a] = best_x[a] + take * (x[a] - best_x[a])
-                if at_lo[a]:
-                    best_cl_lo[a] = best_cl_lo[a] + take * (ones - best_cl_lo[a])
-                if at_up[a]:
-                    best_cl_up[a] = best_cl_up[a] + take * (ones - best_cl_up[a])
-                for b in range(NU):
-                    best_inv[(a, b)] = best_inv[(a, b)] + take * (
-                        iv(a, b) - best_inv[(a, b)]
-                    )
-            best_valid = best_valid + take
-
-        step_failed_f = jnp.where(pd_full, ones - best_valid, ones)  # 0/1
-        l_k = best_x
-
-        # D[j,:] = sign_j * hx_j for clamped j (back_pass.c:193-199)
         # lower_hx/upper_hx are (n_u, n_x) row-major on the component axis.
-        D = [[best_cl_lo[a] * lo_s_ref[0, a, :] * lo_hx_ref[0, a * NX + b, :]
-              + best_cl_up[a] * up_s_ref[0, a, :] * up_hx_ref[0, a * NX + b, :]
-              for b in range(NX)] for a in range(NU)]
+        lo_hx = [[lo_hx_ref[0, a * NX + b, :] for b in range(NX)]
+                 for a in range(NU)]
+        up_hx = [[up_hx_ref[0, a * NX + b, :] for b in range(NX)]
+                 for a in range(NU)]
+        lo_s = [lo_s_ref[0, a, :] for a in range(NU)]
+        up_s = [up_s_ref[0, a, :] for a in range(NU)]
+        u_k = [u_ref[0, a, :] for a in range(NU)]
 
-        # L = -invH (Qxu_reg^T - QuuF D) - D
-        M = [[Qxu_reg[b][a] - sum(QuuF[a][c] * D[c][b] for c in range(NU))
-              for b in range(NX)] for a in range(NU)]  # (NU, NX)
-        L_k = [[-sum(best_inv[(a, c)] * M[c][b] for c in range(NU)) - D[a][b]
-                for b in range(NX)] for a in range(NU)]
-
-        # dV += [l.Qu, 0.5 l.Quu.l] (back_pass.c:204-215)
-        dv0 = sum(l_k[a] * Qu[a] for a in range(NU))
-        dv1 = 0.5 * sum(
-            l_k[a] * Quu[a][b] * l_k[b] for a in range(NU) for b in range(NU)
+        l_k, L_k, dv0, dv1, Vx_new, Vxx_new, g_k, step_failed_f = riccati_step(
+            NX, NU, reg_type, full_ddp,
+            fx, fu, cx, cu, cxx, cuu, cxu, fxx, fuu, fxu,
+            lower, upper, lo_hx, up_hx, lo_s, up_s, u_k, lam,
+            Vx, Vxx,
         )
-
-        # value update with UNregularized Quu/Qxu (back_pass.c:217-241)
-        Quu_l = [sum(Quu[a][b] * l_k[b] for b in range(NU)) for a in range(NU)]
-        Vx_new = [
-            Qx[a]
-            + sum(L_k[c][a] * (Quu_l[c] + Qu[c]) for c in range(NU))
-            + sum(Qxu[a][c] * l_k[c] for c in range(NU))
-            for a in range(NX)
-        ]
-        LQuu = [[sum(L_k[c][a] * Quu[c][d] for c in range(NU)) for d in range(NU)]
-                for a in range(NX)]
-        Vxx_new = [[
-            Qxx[a][b]
-            + sum(LQuu[a][d] * L_k[d][b] for d in range(NU))
-            + sum(L_k[c][a] * Qxu[b][c] for c in range(NU))
-            + sum(Qxu[a][c] * L_k[c][b] for c in range(NU))
-            for b in range(NX)] for a in range(NX)]
-        # symmetrize
-        Vxx_new = [[0.5 * (Vxx_new[a][b] + Vxx_new[b][a]) for b in range(NX)]
-                   for a in range(NX)]
-
-        # g_norm contribution: max_a |l_a| / (|u_a|+1) (back_pass.c:244-251)
-        g_k = jnp.abs(l_k[0]) / (jnp.abs(u_ref[0, 0, :]) + 1.0)
-        for a in range(1, NU):
-            g_k = jnp.maximum(g_k, jnp.abs(l_k[a]) / (jnp.abs(u_ref[0, a, :]) + 1.0))
 
         # live = 1 while no step has failed yet (freeze after failure)
         fail_now = jnp.minimum(fail_s[0, :] + step_failed_f, 1.0)

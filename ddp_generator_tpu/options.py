@@ -81,7 +81,15 @@ class SolverOptions:
     # problems with full_ddp=False only; see ops/parallel_riccati.py);
     # "pallas": the whole backward pass as one fused TPU kernel for batched
     # solves (n_u <= 3; see ops/pallas_backpass.py) -- falls back to
-    # "serial" for unbatched calls.
+    # "serial" for unbatched calls;
+    # "fused": like "pallas" but ALSO computes the derivative bundle on the
+    # fly inside the kernel (nested jvp/linearize along component basis
+    # directions), so the bundle never touches HBM (ops/pallas_fused.py;
+    # shared params only, batched solves only -- unbatched calls fall back
+    # to "serial").  Experimental: measured SLOWER than "pallas" + the
+    # separate XLA derivative pass on v5e (10.0 vs 7.3 ms at batch 2048;
+    # Mosaic's codegen for in-kernel autodiff trails XLA's) -- kept for
+    # problems/hardware where the bundle traffic dominates.
     backpass_method: str = "serial"
     # "serial": vmap-of-scan rollouts (reference semantics, any backend);
     # "pallas": the whole multi-alpha line search as two fused TPU kernels
@@ -139,9 +147,10 @@ class SolverOptions:
                 raise OptionError(f"{nm} must be 'auto' or a positive float")
         if self.boxqp_method not in ("auto", "newton", "enumerate"):
             raise OptionError("boxqp_method must be auto|newton|enumerate")
-        if self.backpass_method not in ("serial", "parallel", "pallas"):
+        if self.backpass_method not in ("serial", "parallel", "pallas",
+                                        "fused"):
             raise OptionError(
-                "backpass_method must be serial|parallel|pallas"
+                "backpass_method must be serial|parallel|pallas|fused"
             )
         if self.linesearch_method not in ("serial", "pallas"):
             raise OptionError("linesearch_method must be serial|pallas")

@@ -183,6 +183,61 @@ def _make_parts(problem: Problem, options: SolverOptions):
         def _run_back_pass(derivs, us, lam, hyper_):
             return _run_back_pass_cv(derivs, us, lam)
 
+    elif o.backpass_method == "fused":
+        from jax import custom_batching
+
+        from .ops.pallas_fused import fused_derivs_back_pass
+
+        if problem.n_u > 3:
+            raise ValueError("backpass_method='fused' supports n_u <= 3")
+        _interp = jax.default_backend() != "tpu"
+
+        def _serial_derivs_bp(xs, us, mult, wld, wfd, lam, params):
+            d = calc_derivs(
+                problem, xs, us, params,
+                mult.mu_le, mult.mu_li, mult.mu_fe, mult.mu_fi,
+                wld, wfd, o.full_ddp,
+            )
+            bp = back_pass(d, us, lam, o.regType, o.full_ddp, hyper,
+                           unroll=o.scan_unroll)
+            return bp, d.ok
+
+        @custom_batching.custom_vmap
+        def _run_derivs_bp(xs, us, mult, wld, wfd, lam, params):
+            # Unbatched (per-instance) calls keep the XLA path.
+            return _serial_derivs_bp(xs, us, mult, wld, wfd, lam, params)
+
+        @_run_derivs_bp.def_vmap
+        def _fused_vmap_rule(axis_size, in_batched, *operands):
+            xs, us, mult, wld, wfd, lam, params_op = operands
+            xs_b, us_b, mult_b, wld_b, wfd_b, lam_b, params_b = in_batched
+
+            def bc(x, b):
+                return x if b else jnp.broadcast_to(
+                    jnp.asarray(x)[None], (axis_size,) + jnp.shape(x)
+                )
+
+            xs, us, wld, wfd, lam = (
+                bc(xs, xs_b), bc(us, us_b), bc(wld, wld_b),
+                bc(wfd, wfd_b), bc(lam, lam_b),
+            )
+            mult = jax.tree_util.tree_map(bc, mult, mult_b)
+            if any(jax.tree_util.tree_leaves(params_b)):
+                params_bc = jax.tree_util.tree_map(bc, params_op, params_b)
+                out = jax.vmap(_serial_derivs_bp)(
+                    xs, us, mult, wld, wfd, lam, params_bc
+                )
+            else:
+                out = fused_derivs_back_pass(
+                    problem, xs, us, mult.mu_le, mult.mu_li,
+                    mult.mu_fe, mult.mu_fi, wld, wfd, lam, params_op,
+                    o.regType, o.full_ddp, interpret=_interp,
+                )
+            out_batched = jax.tree_util.tree_map(lambda _: True, out)
+            return out, out_batched
+
+        _run_back_pass = None  # unused on the fused path
+
     elif o.backpass_method == "parallel":
         from .ops.parallel_riccati import parallel_back_pass
 
@@ -338,19 +393,6 @@ def _make_parts(problem: Problem, options: SolverOptions):
         # the exact stored bundle of the reference's stale-derivative path.
         w_pen_l_d = jnp.where(c.new_deriv, c.w_pen_l, c.w_pen_l_d)
         w_pen_f_d = jnp.where(c.new_deriv, c.w_pen_f, c.w_pen_f_d)
-        derivs = calc_derivs(
-            problem, c.xs, c.us, params,
-            c.mult.mu_le, c.mult.mu_li, c.mult.mu_fe, c.mult.mu_fi,
-            w_pen_l_d, w_pen_f_d, o.full_ddp,
-        )
-        derivs_failed = c.new_deriv & ~derivs.ok
-        status = jnp.where(
-            derivs_failed, jnp.asarray(sol.STATUS_DERIVS_FAILED, jnp.int32),
-            status,
-        )
-        alive = ~derivs_failed
-        new_deriv = jnp.asarray(False)
-
         # ===== STEP 2: backward pass + lambda escalation =====
         # (iLQG.c:261-284).  ONE attempt per body call: a failed pass
         # escalates lambda and the lane simply retries on the next call
@@ -359,7 +401,25 @@ def _make_parts(problem: Problem, options: SolverOptions):
         # inner retry while, but under vmap it avoids re-running the whole
         # backward scan for every lane whenever ANY lane fails (the retry
         # count of a batch is the max over lanes, not the sum).
-        bp = _run_back_pass(derivs, c.us, c.lam, hyper)
+        if o.backpass_method == "fused":
+            bp, d_ok = _run_derivs_bp(
+                c.xs, c.us, c.mult, w_pen_l_d, w_pen_f_d, c.lam, params
+            )
+        else:
+            derivs = calc_derivs(
+                problem, c.xs, c.us, params,
+                c.mult.mu_le, c.mult.mu_li, c.mult.mu_fe, c.mult.mu_fi,
+                w_pen_l_d, w_pen_f_d, o.full_ddp,
+            )
+            d_ok = derivs.ok
+            bp = _run_back_pass(derivs, c.us, c.lam, hyper)
+        derivs_failed = c.new_deriv & ~d_ok
+        status = jnp.where(
+            derivs_failed, jnp.asarray(sol.STATUS_DERIVS_FAILED, jnp.int32),
+            status,
+        )
+        alive = ~derivs_failed
+        new_deriv = jnp.asarray(False)
         dlam_f = jnp.maximum(c.dlam * o.lambdaFactor, o.lambdaFactor)
         lam_f = jnp.maximum(c.lam * dlam_f, o.lambdaMin)
         bp_failed = alive & bp.failed
