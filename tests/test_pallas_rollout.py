@@ -170,3 +170,24 @@ def test_pallas_linesearch_batched_params_falls_back():
     )(x0s, u0s, pb)
     np.testing.assert_array_equal(np.asarray(s_pal.cost),
                                   np.asarray(s_ser.cost))
+
+
+def test_bench_configuration_stepwise_pallas():
+    """The exact bench.py configuration (StepwiseSolver + pallas backpass +
+    pallas line search + compaction) at toy shape, vs the all-serial
+    reference path."""
+    problem = car_parking.car_parking()
+    p, x0, _ = car_parking.default_setup(T=30)
+    B, T = 8, 30
+    rng = np.random.default_rng(7)
+    x0s = np.tile(np.asarray(x0), (B, 1))
+    u0s = 0.1 * rng.standard_normal((B, T, 2))
+    o_ref = ddp.SolverOptions(max_iter=25)
+    o_bench = ddp.SolverOptions(max_iter=25, backpass_method="pallas",
+                                linesearch_method="pallas")
+    want = ddp.make_batched_solver(problem, o_ref)(x0s, u0s, p)
+    got = ddp.StepwiseSolver(problem, o_bench, chunk=4, compact_levels=2,
+                             min_compact_batch=2)(x0s, u0s, p)
+    assert np.all(np.asarray(got.success))
+    np.testing.assert_allclose(np.asarray(got.cost), np.asarray(want.cost),
+                               rtol=1e-5)
