@@ -33,7 +33,6 @@ reference (``line_search.c:70-76``).
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Sequence
 
 import jax
