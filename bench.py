@@ -17,7 +17,11 @@ import time
 
 import numpy as np
 
-faulthandler.dump_traceback_later(480, repeat=True, file=sys.stderr)
+# Watchdog traceback if the bench wedges (relay stalls).  The threshold must
+# sit ABOVE any healthy first-run compile time so the recorded output tail
+# stays clean (round 2's 480 s threshold fired during a slow-relay compile
+# and polluted the scoreboard tail).
+faulthandler.dump_traceback_later(1200, repeat=True, file=sys.stderr)
 
 
 def log(*a):
@@ -115,9 +119,21 @@ def main():
     succ = np.asarray(sol.success)
     iters = np.asarray(sol.iterations)
     costs = np.asarray(sol.cost)
+    status = np.asarray(sol.status)
+    body_calls = np.asarray(sol.body_calls)
+    stale_calls = np.asarray(sol.stale_calls)
+    # Split accounting: "solved" = hit a convergence tolerance (gradient or
+    # tolFun, status 1/2); "exhausted" = iteration budget ran out (status 7).
+    # sol.success alone (back-pass-done && iterations left, iLQG.c:367-378)
+    # would count budget-exhausted lanes as successes.
+    solved = np.isin(status, (1, 2))
+    exhausted = status == 7
+    stale_frac = stale_calls.sum() / max(body_calls.sum(), 1)
     log(
         f"batch={B} wall={dt:.3f}s success={succ.mean()*100:.1f}% "
+        f"solved={solved.mean()*100:.1f}% exhausted={exhausted.mean()*100:.1f}% "
         f"iters: mean={iters.mean():.1f} max={iters.max()} "
+        f"body calls: mean={body_calls.mean():.1f} stale={stale_frac*100:.1f}% "
         f"cost: mean={costs.mean():.4f} median={np.median(costs):.4f}"
     )
 
@@ -130,6 +146,8 @@ def main():
                 "value": round(solves_per_s, 3),
                 "unit": "solves/s",
                 "vs_baseline": round(solves_per_s / baseline_solves_per_s, 2),
+                "solved_pct": round(float(solved.mean()) * 100, 2),
+                "exhausted_pct": round(float(exhausted.mean()) * 100, 2),
             }
         )
     )

@@ -45,3 +45,12 @@ class Solution(NamedTuple):
     log_linesearch: Array  # (max_iter,) int32: #alphas tried (line_search.c:70)
     log_z: Array  # (max_iter,)
     log_cost: Array  # (max_iter,)
+    # Instrumentation (no reference counterpart): how many times the
+    # iteration body actually processed this lane, and how many of those
+    # calls re-derived a STALE derivative bundle (reject/lambda-retry calls,
+    # where the reference skips calc_derivs via its newDeriv gate,
+    # iLQG.c:241-256, but this solver recomputes from frozen inputs --
+    # see _Carry.w_pen_l_d).  stale_calls / body_calls is the fraction of
+    # derivative work a newDeriv gate could save.
+    body_calls: Array  # int32
+    stale_calls: Array  # int32

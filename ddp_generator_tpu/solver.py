@@ -34,9 +34,13 @@ Two drivers share the same iteration body:
 
 Console tracing: the reference prints per-iteration status at
 ``debug_level >= 1`` via the injected ``PRNT`` (iLQG.c:313-314,352-353).  In a
-jitted TPU solver host-side printing serializes execution, so tracing is only
-emitted (via ``jax.debug.print``) at ``debug_level >= 3``; levels 1-2 keep the
-reference's default numeric behavior with no host round-trips.
+jitted TPU solver host-side printing serializes execution, so in-device
+tracing is only emitted (via ``jax.debug.print``) at ``debug_level >= 3``;
+levels 1-2 keep the reference's default numeric behavior with no extra host
+round-trips.  :class:`StepwiseSolver` restores reference-grade observability
+for free: its host loop already syncs one scalar per chunk, so at
+``debug_level >= 1`` it prints a per-chunk status line (active lanes, mean
+cost, lambda range, elapsed wall time) on stderr.
 """
 
 from __future__ import annotations
@@ -95,6 +99,8 @@ class _Carry(NamedTuple):
     log_linesearch: Array
     log_z: Array
     log_cost: Array
+    body_calls: Array  # int32 (see Solution.body_calls)
+    stale_calls: Array  # int32
 
 
 def _boxqp_hyper(o: SolverOptions) -> BoxQPHyper:
@@ -378,6 +384,8 @@ def _make_parts(problem: Problem, options: SolverOptions):
             log_linesearch=jnp.zeros((max(o.max_iter, 1),), jnp.int32),
             log_z=jnp.zeros((max(o.max_iter, 1),), dtype),
             log_cost=jnp.zeros((max(o.max_iter, 1),), dtype),
+            body_calls=jnp.asarray(0, jnp.int32),
+            stale_calls=jnp.asarray(0, jnp.int32),
         )
 
     def body_fn(c: _Carry, params: Any) -> _Carry:
@@ -386,6 +394,11 @@ def _make_parts(problem: Problem, options: SolverOptions):
         w_pen_max_f = jnp.asarray(o.w_pen_max_f, dtype)
         x0 = c.xs[0]
         status = c.status
+        # Per-lane instrumentation: a done lane passing through a (vmapped)
+        # body call is not a processed iteration.
+        processed = (~c.done).astype(jnp.int32)
+        body_calls = c.body_calls + processed
+        stale_calls = c.stale_calls + processed * (~c.new_deriv).astype(jnp.int32)
 
         # ===== STEP 1: derivatives (iLQG.c:241-256) =====
         # Recomputed every call from inputs that only change when new_deriv
@@ -577,6 +590,8 @@ def _make_parts(problem: Problem, options: SolverOptions):
             log_linesearch=log_linesearch,
             log_z=log_z,
             log_cost=log_cost,
+            body_calls=body_calls,
+            stale_calls=stale_calls,
         )
 
     def finalize_fn(final: _Carry) -> Solution:
@@ -608,6 +623,8 @@ def _make_parts(problem: Problem, options: SolverOptions):
             log_linesearch=final.log_linesearch,
             log_z=final.log_z,
             log_cost=final.log_cost,
+            body_calls=final.body_calls,
+            stale_calls=final.stale_calls,
         )
 
     return init_fn, body_fn, finalize_fn
@@ -729,6 +746,22 @@ class StepwiseSolver:
         self._active = jax.jit(
             lambda c: jnp.sum(((~c.done) & (c.it < o.max_iter)).astype(jnp.int32))
         )
+
+        def _status_stats(c):
+            # Per-chunk console stats (debug_level >= 1): active-lane cost
+            # mean and lambda range -- the reference's per-iteration PRNT
+            # trace intent (iLQG.c:313-314,352-353) at one host sync per
+            # chunk (the host loop already syncs the active count anyway).
+            act = (~c.done) & (c.it < o.max_iter)
+            n = jnp.maximum(jnp.sum(act.astype(jnp.int32)), 1)
+            mean_cost = jnp.sum(jnp.where(act, c.cost, 0.0)) / n
+            mean_it = jnp.sum(jnp.where(act, c.it, 0)) / n
+            big = jnp.asarray(jnp.inf, c.lam.dtype)
+            lam_lo = jnp.min(jnp.where(act, c.lam, big))
+            lam_hi = jnp.max(jnp.where(act, c.lam, -big))
+            return mean_cost, mean_it, lam_lo, lam_hi
+
+        self._stats = jax.jit(_status_stats)
         # Compaction helpers (jit re-specializes per working-set shape):
         # actives-first permutation, gather a prefix, scatter a working set
         # back into the full carry.
@@ -749,6 +782,9 @@ class StepwiseSolver:
         )
 
     def __call__(self, x0s, u0s, params) -> Solution:
+        import time as _time
+
+        t_start = _time.time()
         o = self.options
         full = self._init(x0s, u0s, params)
         B = int(full.cost.shape[0])
@@ -778,11 +814,23 @@ class StepwiseSolver:
         ))
         n_calls = max(1, -(-o.max_iter * (1 + n_lam_steps) // self.chunk))
         exhausted = True
-        for _ in range(n_calls):
+        for chunk_i in range(n_calls):
             small = self._chunk(small, cur_params)
             # One scalar transfer per chunk: stop as soon as every lane is
             # done (converged instances are no-ops inside a chunk anyway).
             active = int(self._active(small))
+            if o.debug_level >= 1:
+                import sys as _sys
+
+                mc, mi, llo, lhi = (float(v) for v in self._stats(small))
+                print(
+                    f"chunk {chunk_i + 1}: active {active}/{size}"
+                    f"  mean iter {mi:.1f}  mean cost {mc:.6g}"
+                    f"  log10(lam) [{_np.log10(max(llo, 1e-300)):.1f},"
+                    f" {_np.log10(max(lhi, 1e-300)):.1f}]"
+                    f"  t={_time.time() - t_start:.1f}s",
+                    file=_sys.stderr, flush=True,
+                )
             if active == 0:
                 exhausted = False
                 break
