@@ -1,0 +1,237 @@
+"""Component-major derivative bundle emission + fused-layout backward pass.
+
+This is the production derivs->backpass path for batched TPU solves.  Round
+2 measured the Pallas backward pass at ~3.5 ms of which a large share was
+the ADAPTER: ``calc_derivs`` materializes a batch-major ``(B, N, ...)``
+bundle (~0.8 GB at B=2048, N=500, f32) which ``batched_back_pass_pallas``
+then transposes to the kernel's component-major ``(N, C, B)`` layout -- a
+full extra read+write of the largest array in the solver.
+
+Here the bundle is *born* component-major and packed:
+
+* the small inputs (``xs``/``us``/multipliers, ~16 MB) are transposed to
+  ``(N, comp, B)`` first;
+* the per-step derivative objects are computed on ``(comp, B)`` lane
+  vectors by :func:`pallas_fused.step_derivative_components` (basis-vector
+  ``jax.linearize`` -- the same machinery the fused kernel runs in-VMEM,
+  executed here as plain XLA ops, replacing the generated ``calc_derivs``
+  of the reference, ``iLQG_func.tem:187-221``), vmapped over the horizon
+  with the batch axis minor throughout, so XLA writes every bundle array
+  directly in kernel layout with no transpose;
+* symmetric components (cxx, cuu and the trailing axes of fxx/fuu) are
+  emitted packed (upper triangle): 194 -> 159 per-step f32 components for
+  the CarParking/FULL_DDP workload, ~18% less HBM bundle traffic (the
+  packed-triangle idea of the reference's ``matMult.h:8-9``).
+
+Scope mirrors the other batched kernels: shared (unbatched) params.  The
+solver falls back to ``calc_derivs`` + the transposing adapter for
+per-lane-params batches.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..problem import Problem
+from .backpass import BackPassResult
+from .pallas_backpass import pallas_back_pass_cm, pack_sym_components
+
+Array = jax.Array
+
+
+class _RawFns:
+    """Duck-typed ``pallas_fused._Safes`` exposing the problem functions
+    unwrapped: outside Mosaic, XLA supports the full transcendental set, so
+    no substitution layer is needed and values match ``calc_derivs``."""
+
+    def __init__(self, problem: Problem):
+        self.f = problem.f
+        self.L = problem.L
+        self.F = problem.F
+        self.h = [bc.fn for bc in problem.box_constraints]
+        self.hle = list(problem.hle)
+        self.hli = list(problem.hli)
+        self.hfe = list(problem.hfe)
+        self.hfi = list(problem.hfi)
+
+
+def batched_calc_derivs_cm(
+    problem: Problem,
+    xs: Array,  # (B, N+1, n_x) batch-major nominal trajectory
+    us: Array,  # (B, N, n_u)
+    params: Any,  # shared (unbatched) pytree
+    mu_le: Array,  # (B, N, n_hle)
+    mu_li: Array,
+    mu_fe: Array,  # (B, n_hfe)
+    mu_fi: Array,
+    w_pen_l: Array,  # (B,)
+    w_pen_f: Array,
+    full_ddp: bool,
+):
+    """Batched ``calc_derivs`` with packed component-major output.
+
+    Returns ``(sd_cm dict of (N, C, B) arrays keyed like StepDerivs,
+    final_cx (n_x, B), final_cxx (n_x*n_x, B) full, ok (B,) bool)``.
+    """
+    from .pallas_fused import (
+        final_derivative_components,
+        step_derivative_components,
+    )
+
+    B, Np1, n_x = xs.shape
+    N = Np1 - 1
+    n_u = us.shape[-1]
+    dtype = us.dtype
+    np_dtype = np.dtype(dtype.name)
+    raw = _RawFns(problem)
+
+    to_cm = lambda a: jnp.transpose(a.reshape(B, N, -1), (1, 2, 0))
+    x_cm = to_cm(xs[:, :N])  # (N, n_x, B)
+    u_cm = to_cm(us)
+    mle_cm = to_cm(mu_le) if problem.n_hle else jnp.zeros((N, 0, B), dtype)
+    mli_cm = to_cm(mu_li) if problem.n_hli else jnp.zeros((N, 0, B), dtype)
+    xF_cm = jnp.transpose(xs[:, N], (1, 0))  # (n_x, B)
+    mfe_rows = [mu_fe[:, i] for i in range(problem.n_hfe)]
+    mfi_rows = [mu_fi[:, i] for i in range(problem.n_hfi)]
+
+    def flat2(rows2):  # nested [a][b] of (B,) -> (C, B) row-major
+        return jnp.stack([v for row in rows2 for v in row], axis=0)
+
+    def step_k(k, x_arr, u_arr, mle, mli):
+        mu_le_rows = [mle[i] for i in range(problem.n_hle)]
+        mu_li_rows = [mli[i] for i in range(problem.n_hli)]
+        (fx, fu, cx, cu, cxx, cuu, cxu, fxx, fuu, fxu,
+         lower, upper, lo_hx, up_hx, lo_s, up_s, dok) = (
+            step_derivative_components(
+                problem, raw, x_arr, u_arr, params, k, mu_le_rows,
+                mu_li_rows, w_pen_l, full_ddp, np_dtype,
+            )
+        )
+        out = {
+            "fx": flat2(fx),
+            "fu": flat2(fu),
+            "cx": jnp.stack(cx, 0),
+            "cu": jnp.stack(cu, 0),
+            "cxx": jnp.stack(
+                pack_sym_components([v for r in cxx for v in r], n_x), 0
+            ),
+            "cuu": jnp.stack(
+                pack_sym_components([v for r in cuu for v in r], n_u), 0
+            ),
+            "cxu": flat2(cxu),
+            "lower": jnp.stack(lower, 0),
+            "upper": jnp.stack(upper, 0),
+            "lower_hx": flat2(lo_hx),
+            "upper_hx": flat2(up_hx),
+            "lower_sign": jnp.stack(lo_s, 0),
+            "upper_sign": jnp.stack(up_s, 0),
+        }
+        if full_ddp:
+            out["fxx"] = jnp.stack(
+                [
+                    v
+                    for i_ in range(n_x)
+                    for v in pack_sym_components(
+                        [fxx[i_][a][b] for a in range(n_x) for b in range(n_x)],
+                        n_x,
+                    )
+                ],
+                0,
+            )
+            out["fuu"] = jnp.stack(
+                [
+                    v
+                    for i_ in range(n_x)
+                    for v in pack_sym_components(
+                        [fuu[i_][a][b] for a in range(n_u) for b in range(n_u)],
+                        n_u,
+                    )
+                ],
+                0,
+            )
+            out["fxu"] = jnp.stack(
+                [fxu[i_][a][b] for i_ in range(n_x) for a in range(n_x)
+                 for b in range(n_u)],
+                0,
+            )
+        else:
+            z = jnp.zeros((0,) + dok.shape, dtype)
+            out["fxx"] = out["fuu"] = out["fxu"] = z
+        return out, dok
+
+    ks = jnp.arange(N)
+    sd_cm, dok_steps = jax.vmap(step_k)(ks, x_cm, u_cm, mle_cm, mli_cm)
+
+    Fx, Fxx, okf = final_derivative_components(
+        problem, raw, xF_cm, params, N, mfe_rows, mfi_rows, w_pen_f, np_dtype
+    )
+    final_cx = jnp.stack(Fx, 0)  # (n_x, B)
+    final_cxx = jnp.stack(
+        [Fxx[a][b] for a in range(n_x) for b in range(n_x)], 0
+    )  # full (n_x*n_x, B): the kernel seeds Vxx from it once per solve
+
+    ok = (jnp.min(dok_steps, axis=0) * okf) > 0.5  # (B,) bool
+    return sd_cm, final_cx, final_cxx, ok
+
+
+def cm_derivs_back_pass(
+    problem: Problem,
+    xs: Array,  # (B, N+1, n_x)
+    us: Array,  # (B, N, n_u)
+    mu_le: Array,
+    mu_li: Array,
+    mu_fe: Array,
+    mu_fi: Array,
+    w_pen_l: Array,  # (B,) derivative-time penalty weights
+    w_pen_f: Array,
+    lam: Array,  # (B,)
+    params: Any,  # shared pytree
+    reg_type: int,
+    full_ddp: bool,
+    interpret: bool = False,
+):
+    """Batched derivatives (XLA, packed CM emission) + Pallas backward pass.
+
+    Returns ``(BackPassResult batch-major, derivs_ok (B,) bool)`` --
+    semantics of ``calc_derivs`` + ``back_pass`` per lane (the combined
+    step 1+2 of ``iLQG.c:241-284``)."""
+    from ..derivs import StepDerivs
+
+    B, Np1, n_x = xs.shape
+    N = Np1 - 1
+    n_u = us.shape[-1]
+
+    pad = (-B) % 128
+    if pad:
+        padb = lambda a: jnp.concatenate(
+            [a, jnp.broadcast_to(a[:1], (pad,) + a.shape[1:])], axis=0
+        )
+        xs, us, mu_le, mu_li, mu_fe, mu_fi, w_pen_l, w_pen_f, lam = (
+            padb(a) for a in (xs, us, mu_le, mu_li, mu_fe, mu_fi,
+                              w_pen_l, w_pen_f, lam)
+        )
+
+    sd_cm, final_cx, final_cxx, ok = batched_calc_derivs_cm(
+        problem, xs, us, params, mu_le, mu_li, mu_fe, mu_fi,
+        w_pen_l, w_pen_f, full_ddp,
+    )
+    us_cm = jnp.transpose(us, (1, 2, 0))
+    l_cm, L_cm, dV, g_norm, failed = pallas_back_pass_cm(
+        StepDerivs(**sd_cm), final_cx, final_cxx, us_cm, lam[None, :], n_x,
+        reg_type=reg_type, full_ddp=full_ddp, interpret=interpret,
+    )
+    res = BackPassResult(
+        l=jnp.transpose(l_cm, (2, 0, 1)),
+        L=jnp.transpose(L_cm, (2, 0, 1)).reshape(B + pad, N, n_u, n_x),
+        dV=jnp.transpose(dV, (1, 0)),
+        g_norm=g_norm[0],
+        failed=failed[0],
+    )
+    if pad:
+        res = jax.tree_util.tree_map(lambda a: a[:B], res)
+        ok = ok[:B]
+    return res, ok

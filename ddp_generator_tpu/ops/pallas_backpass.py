@@ -57,6 +57,27 @@ def _patterns(n_u: int):
     )
 
 
+def tri_size(n: int) -> int:
+    """Packed upper-triangle length for a symmetric (n, n) matrix."""
+    return n * (n + 1) // 2
+
+
+def tri_index(a: int, b: int, n: int) -> int:
+    """Row-major upper-triangle index of (a, b), a <= b, in an (n, n) matrix.
+
+    The bundle stores symmetric matrices (cxx, cuu, and the last two axes of
+    fxx/fuu) packed: the TPU keep of the reference's packed-triangle idea
+    (``matMult.h:8-9``) -- here it buys ~20% less HBM bundle traffic rather
+    than cache locality."""
+    assert a <= b
+    return a * n - a * (a - 1) // 2 + (b - a)
+
+
+def pack_sym_components(full_rows, n: int):
+    """[(a,b) row-major full] component list -> packed upper-triangle list."""
+    return [full_rows[a * n + b] for a in range(n) for b in range(a, n)]
+
+
 def _sym_solve_small(H, rhs, free, n):
     """Masked free-set solve via closed-form inverse; H, rhs are dicts of
     (B,) vectors: H[(i,j)], rhs[i].  Returns (x dict, pd_ok (B,), inv fn).
@@ -336,6 +357,10 @@ def _make_kernel(n_x: int, n_u: int, reg_type: int, full_ddp: bool, N: int):
         XX = lambda a, b: a * NX + b  # (n_x, n_x)
         XU = lambda a, b: a * NU + b  # (n_x, n_u)
         UU = lambda a, b: a * NU + b  # (n_u, n_u)
+        # Symmetric inputs arrive PACKED (upper triangle, row-major).
+        TX = lambda a, b: tri_index(min(a, b), max(a, b), NX)
+        TU = lambda a, b: tri_index(min(a, b), max(a, b), NU)
+        TXS, TUS = tri_size(NX), tri_size(NU)
 
         lam = lam_ref[0, :]
         Vx = [vx_s[a, :] for a in range(NX)]
@@ -345,14 +370,15 @@ def _make_kernel(n_x: int, n_u: int, reg_type: int, full_ddp: bool, N: int):
         fu = [[fu_ref[0, XU(a, b), :] for b in range(NU)] for a in range(NX)]
         cx = [cx_ref[0, a, :] for a in range(NX)]
         cu = [cu_ref[0, a, :] for a in range(NU)]
-        cxx = [[cxx_ref[0, XX(a, b), :] for b in range(NX)] for a in range(NX)]
-        cuu = [[cuu_ref[0, UU(a, b), :] for b in range(NU)] for a in range(NU)]
+        cxx = [[cxx_ref[0, TX(a, b), :] for b in range(NX)] for a in range(NX)]
+        cuu = [[cuu_ref[0, TU(a, b), :] for b in range(NU)] for a in range(NU)]
         cxu = [[cxu_ref[0, XU(a, b), :] for b in range(NU)] for a in range(NX)]
         if full_ddp:
-            # flattened (i, a, b) row-major indices on the C axis
-            fxx = [[[fxx_ref[0, (i_ * NX + a) * NX + b, :] for b in range(NX)]
+            # (i, packed(a, b)) indices on the C axis; the last two axes of
+            # fxx/fuu are symmetric (mixed-partial symmetry)
+            fxx = [[[fxx_ref[0, i_ * TXS + TX(a, b), :] for b in range(NX)]
                     for a in range(NX)] for i_ in range(NX)]
-            fuu = [[[fuu_ref[0, (i_ * NU + a) * NU + b, :] for b in range(NU)]
+            fuu = [[[fuu_ref[0, i_ * TUS + TU(a, b), :] for b in range(NU)]
                     for a in range(NU)] for i_ in range(NX)]
             fxu = [[[fxu_ref[0, (i_ * NX + a) * NU + b, :] for b in range(NU)]
                     for a in range(NX)] for i_ in range(NX)]
@@ -413,7 +439,8 @@ def _make_kernel(n_x: int, n_u: int, reg_type: int, full_ddp: bool, N: int):
     jax.jit, static_argnames=("n_x", "reg_type", "full_ddp", "interpret")
 )
 def pallas_back_pass_cm(
-    sd_cm,  # StepDerivs pytree, COMPONENT-MAJOR: each array (N, C, B)
+    sd_cm,  # StepDerivs pytree, COMPONENT-MAJOR (N, C, B); cxx/cuu and the
+    #         last two axes of fxx/fuu PACKED (upper triangle, row-major)
     final_cx,  # (n_x, B)
     final_cxx,  # (n_x*n_x, B)
     us_cm,  # (N, n_u, B)
@@ -498,7 +525,11 @@ def batched_back_pass_pallas(
     full_ddp: bool,
     interpret: bool = False,
 ) -> BackPassResult:
-    """Adapter: batch-major bundle -> component-major kernel -> result."""
+    """Adapter: batch-major bundle -> packed component-major kernel -> result.
+
+    Kept for per-lane-params solves and kernel unit tests; the production
+    path (``ops/cm_derivs.py``) emits the packed component-major bundle
+    directly and never pays these transposes."""
     sd = derivs.step
     B, N, n_u = us.shape
     n_x = derivs.final.cx.shape[-1]
@@ -509,7 +540,25 @@ def batched_back_pass_pallas(
         flat = a.reshape(B, N, -1)
         return jnp.transpose(flat, (1, 2, 0))
 
-    sd_cm = jax.tree_util.tree_map(to_cm, sd)
+    def to_cm_sym(a, n):  # (B, N, ..., n, n) sym in last 2 -> packed CM
+        if not a.size:
+            return a
+        ia = [i for i in range(n) for _ in range(i, n)]
+        ib = [j for i in range(n) for j in range(i, n)]
+        sel = a[..., ia, ib]  # (B, N, ..., tri)
+        return to_cm(sel)
+
+    sd_cm = sd._replace(
+        cxx=to_cm_sym(sd.cxx, n_x),
+        cuu=to_cm_sym(sd.cuu, n_u),
+        fxx=to_cm_sym(sd.fxx, n_x),
+        fuu=to_cm_sym(sd.fuu, n_u),
+        **{
+            f: to_cm(getattr(sd, f))
+            for f in sd._fields
+            if f not in ("cxx", "cuu", "fxx", "fuu")
+        },
+    )
     us_cm = to_cm(us)
     final_cx = jnp.transpose(derivs.final.cx, (1, 0))
     final_cxx = jnp.transpose(derivs.final.cxx.reshape(B, -1), (1, 0))

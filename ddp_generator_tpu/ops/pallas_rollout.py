@@ -75,6 +75,7 @@ def _make_rollout_kernel(
     np_dtype,
     multi: bool,
     treedef,
+    want_cost: bool = False,  # non-multi only: also emit total cost + ok
 ):
     n_x, n_u = problem.n_x, problem.n_u
     n_hle, n_hli = problem.n_hle, problem.n_hli
@@ -105,7 +106,8 @@ def _make_rollout_kernel(
             xs_ref = xf_ref = us_ref = None
         else:
             xs_ref, xf_ref, us_ref = next(it), next(it), next(it)
-            costs_ref = ok_ref = None
+            costs_ref = next(it) if want_cost else None
+            ok_ref = next(it) if want_cost else None
         x_s, c_s, ok_s = next(it), next(it), next(it)
 
         i = pl.program_id(0)
@@ -209,7 +211,7 @@ def _make_rollout_kernel(
 
         @pl.when(i == N - 1)
         def _fin():
-            if multi:
+            if multi or want_cost:
                 cf = F_safe(x_next, p, N)
                 for idx, fn in enumerate(hfe_safe):
                     hval = fn(x_next, p, N)
@@ -219,7 +221,7 @@ def _make_rollout_kernel(
                     cf = cf + _ineq_penalty(mu_fi_ref[idx, :], hval, wpf)
                 costs_ref[...] = c_s[...] + cf
                 ok_ref[...] = ok_s[...] * jnp.isfinite(cf).astype(np_dtype)
-            else:
+            if not multi:
                 for a in range(n_x):
                     xf_ref[a, :] = x_next[a]
 
@@ -250,6 +252,7 @@ def rollout_call(
     params: Any,
     multi: bool,
     interpret: bool = False,
+    want_cost: bool = False,
 ):
     """Invoke one rollout kernel (multi-alpha cost sweep or selected rollout).
 
@@ -265,7 +268,8 @@ def rollout_call(
     norm_leaves = [_normalize_leaf(x).astype(dtype) for x in leaves]
 
     kernel = _make_rollout_kernel(
-        problem, N, alphas, leaf_shapes, np_dtype, multi, treedef
+        problem, N, alphas, leaf_shapes, np_dtype, multi, treedef,
+        want_cost=want_cost,
     )
 
     step_inputs = [xnom_cm, unom_cm, l_cm, L_cm]
@@ -313,6 +317,15 @@ def rollout_call(
             pl.BlockSpec((n_x, B), fix2, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n_u, B), rev2, memory_space=pltpu.VMEM),
         ]
+        if want_cost:
+            out_shape += [
+                jax.ShapeDtypeStruct((1, B), dtype),  # total cost
+                jax.ShapeDtypeStruct((1, B), dtype),  # ok (0/1)
+            ]
+            out_specs += [
+                pl.BlockSpec((1, B), fix2, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, B), fix2, memory_space=pltpu.VMEM),
+            ]
         scratch = [
             pltpu.VMEM((n_x, B), dtype),
             pltpu.VMEM((1, B), dtype),
@@ -334,6 +347,74 @@ def _to_cm(a: Array) -> Array:
     """(B, N, d...) -> (N, prod(d), B)."""
     B, N = a.shape[:2]
     return jnp.transpose(a.reshape(B, N, -1), (1, 2, 0))
+
+
+class _LSCtx:
+    """Padded component-major operands shared by the line-search kernels."""
+
+    def __init__(self, problem, x0, xs_nom, us_nom, l, L_gain, dV, cost,
+                 mu_le, mu_li, mu_fe, mu_fi, w_pen_l, w_pen_f):
+        B, Np1, n_x = xs_nom.shape
+        self.B, self.N, self.n_x = B, Np1 - 1, n_x
+        self.n_u = us_nom.shape[-1]
+        self.dtype = us_nom.dtype
+        pad = self.pad = (-B) % 128
+        if pad:
+            padb = lambda a: jnp.concatenate(
+                [a, jnp.broadcast_to(a[:1], (pad,) + a.shape[1:])], axis=0
+            )
+            (x0, xs_nom, us_nom, l, L_gain, dV, cost, mu_le, mu_li, mu_fe,
+             mu_fi, w_pen_l, w_pen_f) = (
+                padb(a) for a in (x0, xs_nom, us_nom, l, L_gain, dV, cost,
+                                  mu_le, mu_li, mu_fe, mu_fi,
+                                  w_pen_l, w_pen_f)
+            )
+        self.Bp = B + pad
+        N = self.N
+        self.xnom_cm = _to_cm(xs_nom[:, :N])
+        self.unom_cm = _to_cm(us_nom)
+        self.l_cm = _to_cm(l)
+        self.L_cm = _to_cm(L_gain)
+        self.mu_le_cm = _to_cm(mu_le) if problem.n_hle else None
+        self.mu_li_cm = _to_cm(mu_li) if problem.n_hli else None
+        self.x0_cm = jnp.transpose(x0, (1, 0))
+        self.mu_fe_cm = jnp.transpose(mu_fe, (1, 0)) if problem.n_hfe else None
+        self.mu_fi_cm = jnp.transpose(mu_fi, (1, 0)) if problem.n_hfi else None
+        self.wpl = w_pen_l[None, :]
+        self.wpf = w_pen_f[None, :]
+        self.dV = dV
+        self.cost = cost
+
+    def call(self, problem, alphas, params, alpha_vec, multi, interpret,
+             want_cost=False):
+        return rollout_call(
+            problem, alphas, self.xnom_cm, self.unom_cm, self.l_cm,
+            self.L_cm, self.mu_le_cm, self.mu_li_cm, self.x0_cm, self.wpl,
+            self.wpf, self.mu_fe_cm, self.mu_fi_cm, alpha_vec, params,
+            multi=multi, interpret=interpret, want_cost=want_cost,
+        )
+
+
+def _select_first_accept(alphas, costs, okf, ctx, z_min):
+    """Masked first-accepted-alpha selection (line_search.c:41-54 under
+    vmap).  Returns (idx, any_ok, dcost, expected, z, al (A,1))."""
+    A = len(alphas)
+    al = jnp.asarray(np.asarray(alphas, np.dtype(ctx.dtype.name)))[:, None]
+    dcost = ctx.cost[None, :] - costs
+    expected = -al * (ctx.dV[:, 0][None, :] + al * ctx.dV[:, 1][None, :])
+    z = jnp.where(
+        expected > 0.0, dcost / jnp.where(expected > 0.0, expected, 1.0), 0.0
+    )
+    accepted = (okf > 0.5) & (z > z_min)
+    idx_first = jnp.argmax(accepted, axis=0)  # (Bp,)
+    any_ok = jnp.any(accepted, axis=0)
+    idx = jnp.where(any_ok, idx_first, A - 1)
+    return idx, any_ok, dcost, expected, z, al
+
+
+def _traj_out(xs_cm, xf_cm, us_cm):
+    xs_full = jnp.concatenate([xs_cm, xf_cm[None]], axis=0)  # (N+1, n_x, Bp)
+    return jnp.transpose(xs_full, (2, 0, 1)), jnp.transpose(us_cm, (2, 0, 1))
 
 
 def pallas_line_search(
@@ -360,64 +441,24 @@ def pallas_line_search(
 
     Semantics identical to :func:`ops.linesearch.line_search` under vmap
     (first-accepted-alpha; last-alpha numbers on total failure)."""
-    B, Np1, n_x = xs_nom.shape
-    N = Np1 - 1
-    n_u = us_nom.shape[-1]
-    dtype = us_nom.dtype
     A = len(alphas)
+    ctx = _LSCtx(problem, x0, xs_nom, us_nom, l, L_gain, dV, cost,
+                 mu_le, mu_li, mu_fe, mu_fi, w_pen_l, w_pen_f)
+    B, Bp = ctx.B, ctx.Bp
 
-    pad = (-B) % 128
-    if pad:
-        padb = lambda a: jnp.concatenate(
-            [a, jnp.broadcast_to(a[:1], (pad,) + a.shape[1:])], axis=0
-        )
-        (x0, xs_nom, us_nom, l, L_gain, dV, cost, mu_le, mu_li, mu_fe,
-         mu_fi, w_pen_l, w_pen_f) = (
-            padb(a) for a in (x0, xs_nom, us_nom, l, L_gain, dV, cost,
-                              mu_le, mu_li, mu_fe, mu_fi, w_pen_l, w_pen_f)
-        )
-    Bp = B + pad
-
-    xnom_cm = _to_cm(xs_nom[:, :N])
-    unom_cm = _to_cm(us_nom)
-    l_cm = _to_cm(l)
-    L_cm = _to_cm(L_gain)
-    mu_le_cm = _to_cm(mu_le) if problem.n_hle else None
-    mu_li_cm = _to_cm(mu_li) if problem.n_hli else None
-    x0_cm = jnp.transpose(x0, (1, 0))
-    mu_fe_cm = jnp.transpose(mu_fe, (1, 0)) if problem.n_hfe else None
-    mu_fi_cm = jnp.transpose(mu_fi, (1, 0)) if problem.n_hfi else None
-    wpl = w_pen_l[None, :]
-    wpf = w_pen_f[None, :]
-
-    costs, okf = rollout_call(
-        problem, alphas, xnom_cm, unom_cm, l_cm, L_cm, mu_le_cm, mu_li_cm,
-        x0_cm, wpl, wpf, mu_fe_cm, mu_fi_cm, None, params,
-        multi=True, interpret=interpret,
-    )  # (A, Bp) each
-
-    # --- selection (line_search.c:41-54 under vmap) ---
-    al = jnp.asarray(np.asarray(alphas, np.dtype(dtype.name)))[:, None]  # (A,1)
-    dcost = cost[None, :] - costs
-    expected = -al * (dV[:, 0][None, :] + al * dV[:, 1][None, :])
-    z = jnp.where(expected > 0.0, dcost / jnp.where(expected > 0.0, expected, 1.0), 0.0)
-    accepted = (okf > 0.5) & (z > z_min)
-    idx_first = jnp.argmax(accepted, axis=0)  # (Bp,)
-    any_ok = jnp.any(accepted, axis=0)
-    idx = jnp.where(any_ok, idx_first, A - 1)
-
+    costs, okf = ctx.call(problem, alphas, params, None, multi=True,
+                          interpret=interpret)  # (A, Bp) each
+    idx, any_ok, dcost, expected, z, al = _select_first_accept(
+        alphas, costs, okf, ctx, z_min
+    )
     take = lambda m: jnp.take_along_axis(m, idx[None, :], axis=0)[0]
     alpha_vec = take(jnp.broadcast_to(al, (A, Bp)))
 
-    xs_cm, xf_cm, us_cm = rollout_call(
-        problem, alphas, xnom_cm, unom_cm, l_cm, L_cm, mu_le_cm, mu_li_cm,
-        x0_cm, wpl, wpf, mu_fe_cm, mu_fi_cm, alpha_vec[None, :], params,
-        multi=False, interpret=interpret,
+    xs_cm, xf_cm, us_cm = ctx.call(
+        problem, alphas, params, alpha_vec[None, :], multi=False,
+        interpret=interpret,
     )
-
-    xs_full = jnp.concatenate([xs_cm, xf_cm[None]], axis=0)  # (N+1, n_x, Bp)
-    xs_out = jnp.transpose(xs_full, (2, 0, 1))
-    us_out = jnp.transpose(us_cm, (2, 0, 1))
+    xs_out, us_out = _traj_out(xs_cm, xf_cm, us_cm)
 
     res = LineSearchResult(
         success=any_ok,
@@ -431,6 +472,126 @@ def pallas_line_search(
             jnp.int32
         ),
     )
-    if pad:
+    if ctx.pad:
+        res = jax.tree_util.tree_map(lambda a: a[:B], res)
+    return res
+
+
+def pallas_line_search_staged(
+    problem: Problem,
+    alphas: tuple,
+    x0: Array,
+    xs_nom: Array,
+    us_nom: Array,
+    l: Array,
+    L_gain: Array,
+    dV: Array,
+    cost: Array,
+    z_min: float,
+    params: Any,
+    mu_le: Array,
+    mu_li: Array,
+    mu_fe: Array,
+    mu_fi: Array,
+    w_pen_l: Array,
+    w_pen_f: Array,
+    alive: Array | None = None,  # (B,) bool: lanes whose result matters
+    interpret: bool = False,
+) -> LineSearchResult:
+    """Line search with an alpha[0] fast path.
+
+    The reference's serial schedule tries alpha=1 first and accepts it on
+    most iterations near convergence (``line_search.c:33-45``); the 8-wide
+    sweep pays for all 8 rollouts every time.  Stage 1 rolls ONLY alpha[0]
+    (with trajectory + cost); iff some *live* lane rejects it, the full
+    sweep + selected-rollout pair runs under ``lax.cond``.  Inside the full
+    path the selected rollout is itself skipped when every accepting lane
+    accepted alpha[0] (the stage-1 trajectory is bit-identical: same kernel,
+    same alpha).
+
+    ``alive`` masks lanes whose line-search result is consumed by the
+    solver this iteration; converged-but-still-carried lanes (done, or out
+    of iteration budget) would otherwise reject alpha[0] forever (their
+    expected improvement is ~0) and pin the slow path.  Per live lane the
+    result is identical with or without staging; dead lanes get
+    different-but-masked garbage.
+    """
+    A = len(alphas)
+    ctx = _LSCtx(problem, x0, xs_nom, us_nom, l, L_gain, dV, cost,
+                 mu_le, mu_li, mu_fe, mu_fi, w_pen_l, w_pen_f)
+    B, Bp = ctx.B, ctx.Bp
+    dtype = ctx.dtype
+
+    if alive is None:
+        alive_p = jnp.ones((Bp,), bool)
+    else:
+        alive_p = jnp.concatenate(
+            [alive, jnp.zeros((ctx.pad,), bool)], axis=0
+        ) if ctx.pad else alive
+
+    # ---- stage 1: alpha[0] only, with trajectory and total cost ----
+    a0 = float(alphas[0])
+    alpha0_vec = jnp.full((1, Bp), a0, dtype)
+    xs0, xf0, us0, cost0, ok0 = ctx.call(
+        problem, alphas, params, alpha0_vec, multi=False,
+        interpret=interpret, want_cost=True,
+    )
+    cost0, ok0 = cost0[0], ok0[0]
+    dcost0 = ctx.cost - cost0
+    expected0 = -a0 * (ctx.dV[:, 0] + a0 * ctx.dV[:, 1])
+    z0 = jnp.where(
+        expected0 > 0.0, dcost0 / jnp.where(expected0 > 0.0, expected0, 1.0),
+        0.0,
+    )
+    acc0 = (ok0 > 0.5) & (z0 > z_min)
+    need_sweep = jnp.any(alive_p & ~acc0)
+
+    def quick_path(_):
+        xs_out, us_out = _traj_out(xs0, xf0, us0)
+        return LineSearchResult(
+            success=acc0,
+            xs=xs_out,
+            us=us_out,
+            new_cost=cost0,
+            dcost=dcost0,
+            expected=expected0,
+            z=z0,
+            alpha_index=jnp.where(acc0, 0, A).astype(jnp.int32),
+        )
+
+    def full_path(_):
+        costs, okf = ctx.call(problem, alphas, params, None, multi=True,
+                              interpret=interpret)
+        idx, any_ok, dcost, expected, z, al = _select_first_accept(
+            alphas, costs, okf, ctx, z_min
+        )
+        take = lambda m: jnp.take_along_axis(m, idx[None, :], axis=0)[0]
+        alpha_vec = take(jnp.broadcast_to(al, (A, Bp)))
+        need_sel = jnp.any(alive_p & any_ok & (idx > 0))
+        xs_cm, xf_cm, us_cm = jax.lax.cond(
+            need_sel,
+            lambda __: tuple(ctx.call(
+                problem, alphas, params, alpha_vec[None, :], multi=False,
+                interpret=interpret,
+            )),
+            lambda __: (xs0, xf0, us0),
+            None,
+        )
+        xs_out, us_out = _traj_out(xs_cm, xf_cm, us_cm)
+        return LineSearchResult(
+            success=any_ok,
+            xs=xs_out,
+            us=us_out,
+            new_cost=take(costs),
+            dcost=take(dcost),
+            expected=take(expected),
+            z=take(z),
+            alpha_index=jnp.where(
+                any_ok, idx, jnp.asarray(A, jnp.int32)
+            ).astype(jnp.int32),
+        )
+
+    res = jax.lax.cond(need_sweep, full_path, quick_path, None)
+    if ctx.pad:
         res = jax.tree_util.tree_map(lambda a: a[:B], res)
     return res

@@ -99,6 +99,13 @@ class SolverOptions:
     # ops/pallas_math.py), so results may differ from "serial" at the
     # float-roundoff level.
     linesearch_method: str = "serial"
+    # Staged pallas line search (linesearch_method="pallas" only): roll ONLY
+    # alpha[0] first (the reference's serial search tries alpha=1 first and
+    # usually accepts it, line_search.c:33-45); the full 8-alpha sweep +
+    # selected rollout run under lax.cond only on iterations where some
+    # live lane rejects alpha[0].  Per-lane results are identical either
+    # way; this is purely a scheduling optimization.
+    linesearch_staged: bool = True
     # lax.scan unroll factor for the horizon sweeps (rollout + backward
     # pass); >1 trades compile time for less loop overhead on TPU.
     scan_unroll: int = 1
@@ -176,7 +183,7 @@ def options_from_dict(d: dict) -> SolverOptions:
             value = tuple(float(v) for v in np.atleast_1d(value))
         elif name in ("max_iter", "regType", "debug_level", "boxqp_max_iter"):
             value = int(value)
-        elif name in ("full_ddp",):
+        elif name in ("full_ddp", "linesearch_staged"):
             value = bool(value)
         elif name == "dtype":
             value = str(value)

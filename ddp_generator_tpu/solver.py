@@ -156,6 +156,7 @@ def _make_parts(problem: Problem, options: SolverOptions):
     if o.backpass_method == "pallas":
         from jax import custom_batching
 
+        from .ops.cm_derivs import cm_derivs_back_pass
         from .ops.pallas_backpass import batched_back_pass_pallas
 
         if problem.n_u > 3:
@@ -163,31 +164,64 @@ def _make_parts(problem: Problem, options: SolverOptions):
         # Interpret the kernel off-TPU so the pallas path is testable on CPU.
         _interp = jax.default_backend() != "tpu"
 
-        @custom_batching.custom_vmap
-        def _run_back_pass_cv(derivs, us, lam):
-            return back_pass(derivs, us, lam, o.regType, o.full_ddp, hyper,
-                             unroll=o.scan_unroll)
+        def _serial_derivs_bp_p(xs, us, mult, wld, wfd, lam, params):
+            d = calc_derivs(
+                problem, xs, us, params,
+                mult.mu_le, mult.mu_li, mult.mu_fe, mult.mu_fi,
+                wld, wfd, o.full_ddp,
+            )
+            bp = back_pass(d, us, lam, o.regType, o.full_ddp, hyper,
+                           unroll=o.scan_unroll)
+            return bp, d.ok
 
-        @_run_back_pass_cv.def_vmap
-        def _bp_vmap_rule(axis_size, in_batched, derivs, us, lam):
+        @custom_batching.custom_vmap
+        def _run_derivs_bp(xs, us, mult, wld, wfd, lam, params):
+            # Unbatched (per-instance) calls keep the XLA path.
+            return _serial_derivs_bp_p(xs, us, mult, wld, wfd, lam, params)
+
+        @_run_derivs_bp.def_vmap
+        def _cm_vmap_rule(axis_size, in_batched, *operands):
+            xs, us, mult, wld, wfd, lam, params_op = operands
+            xs_b, us_b, mult_b, wld_b, wfd_b, lam_b, params_b = in_batched
+
             # custom_vmap passes operands that were constant across lanes
             # unbatched; broadcast them so the kernel sees uniform (B, ...)
             def bc(x, b):
                 return x if b else jnp.broadcast_to(
-                    x[None], (axis_size,) + jnp.shape(x)
+                    jnp.asarray(x)[None], (axis_size,) + jnp.shape(x)
                 )
 
-            derivs, us, lam = jax.tree_util.tree_map(
-                bc, [derivs, us, lam], in_batched
+            xs, us, wld, wfd, lam = (
+                bc(xs, xs_b), bc(us, us_b), bc(wld, wld_b),
+                bc(wfd, wfd_b), bc(lam, lam_b),
             )
-            out = batched_back_pass_pallas(
-                derivs, us, lam, o.regType, o.full_ddp, interpret=_interp
-            )
+            mult = jax.tree_util.tree_map(bc, mult, mult_b)
+            if any(jax.tree_util.tree_leaves(params_b)):
+                # Per-lane params: the CM emission closes over one shared
+                # params pytree, so fall back to the batch-major autodiff
+                # bundle + the transposing kernel adapter.
+                params_bc = jax.tree_util.tree_map(bc, params_op, params_b)
+                d = jax.vmap(
+                    lambda xs_, us_, m_, wl_, wf_, p_: calc_derivs(
+                        problem, xs_, us_, p_,
+                        m_.mu_le, m_.mu_li, m_.mu_fe, m_.mu_fi,
+                        wl_, wf_, o.full_ddp,
+                    )
+                )(xs, us, mult, wld, wfd, params_bc)
+                bp = batched_back_pass_pallas(
+                    d, us, lam, o.regType, o.full_ddp, interpret=_interp
+                )
+                out = (bp, d.ok)
+            else:
+                out = cm_derivs_back_pass(
+                    problem, xs, us, mult.mu_le, mult.mu_li,
+                    mult.mu_fe, mult.mu_fi, wld, wfd, lam, params_op,
+                    o.regType, o.full_ddp, interpret=_interp,
+                )
             out_batched = jax.tree_util.tree_map(lambda _: True, out)
             return out, out_batched
 
-        def _run_back_pass(derivs, us, lam, hyper_):
-            return _run_back_pass_cv(derivs, us, lam)
+        _run_back_pass = None  # unused on the combined path
 
     elif o.backpass_method == "fused":
         from jax import custom_batching
@@ -280,22 +314,25 @@ def _make_parts(problem: Problem, options: SolverOptions):
     if o.linesearch_method == "pallas":
         from jax import custom_batching
 
-        from .ops.pallas_rollout import pallas_line_search
+        from .ops.pallas_rollout import (
+            pallas_line_search,
+            pallas_line_search_staged,
+        )
 
         _ls_interp = jax.default_backend() != "tpu"
         _alphas_static = tuple(float(a) for a in o.alpha)
 
         @custom_batching.custom_vmap
         def _run_line_search(x0, xs, us, l, L, dV, cost,
-                             mle, mli, mfe, mfi, wl, wf, params):
+                             mle, mli, mfe, mfi, wl, wf, alive, params):
             # Unbatched (per-instance) calls keep the serial XLA path.
             return _serial_line_search(x0, xs, us, l, L, dV, cost,
                                        mle, mli, mfe, mfi, wl, wf, params)
 
         @_run_line_search.def_vmap
         def _ls_vmap_rule(axis_size, in_batched, *operands):
-            *arrs, params_op = operands
-            *arrs_b, params_b = in_batched
+            *arrs, alive_op, params_op = operands
+            *arrs_b, alive_b, params_b = in_batched
 
             def bc(x, b):
                 return x if b else jnp.broadcast_to(
@@ -303,6 +340,7 @@ def _make_parts(problem: Problem, options: SolverOptions):
                 )
 
             arrs = [bc(a, b) for a, b in zip(arrs, arrs_b)]
+            alive = bc(alive_op, alive_b)
             if any(jax.tree_util.tree_leaves(params_b)):
                 # Per-lane params: fall back to the vmapped XLA path (the
                 # kernel closes over a single shared params pytree).
@@ -311,16 +349,27 @@ def _make_parts(problem: Problem, options: SolverOptions):
             else:
                 (x0, xs, us, l, L, dV, cost,
                  mle, mli, mfe, mfi, wl, wf) = arrs
-                out = pallas_line_search(
-                    problem, _alphas_static, x0, xs, us, l, L, dV, cost,
-                    o.zMin, params_op, mle, mli, mfe, mfi, wl, wf,
-                    interpret=_ls_interp,
-                )
+                if o.linesearch_staged:
+                    out = pallas_line_search_staged(
+                        problem, _alphas_static, x0, xs, us, l, L, dV,
+                        cost, o.zMin, params_op, mle, mli, mfe, mfi,
+                        wl, wf, alive=alive, interpret=_ls_interp,
+                    )
+                else:
+                    out = pallas_line_search(
+                        problem, _alphas_static, x0, xs, us, l, L, dV,
+                        cost, o.zMin, params_op, mle, mli, mfe, mfi,
+                        wl, wf, interpret=_ls_interp,
+                    )
             out_batched = jax.tree_util.tree_map(lambda _: True, out)
             return out, out_batched
 
     else:
-        _run_line_search = _serial_line_search
+
+        def _run_line_search(x0, xs, us, l, L, dV, cost,
+                             mle, mli, mfe, mfi, wl, wf, alive, params):
+            return _serial_line_search(x0, xs, us, l, L, dV, cost,
+                                       mle, mli, mfe, mfi, wl, wf, params)
 
     def init_fn(x0: Array, u0: Array, params: Any) -> _Carry:
         x0 = jnp.asarray(x0, dtype)
@@ -414,7 +463,7 @@ def _make_parts(problem: Problem, options: SolverOptions):
         # inner retry while, but under vmap it avoids re-running the whole
         # backward scan for every lane whenever ANY lane fails (the retry
         # count of a batch is the max over lanes, not the sum).
-        if o.backpass_method == "fused":
+        if o.backpass_method in ("pallas", "fused"):
             bp, d_ok = _run_derivs_bp(
                 c.xs, c.us, c.mult, w_pen_l_d, w_pen_f_d, c.lam, params
             )
@@ -460,10 +509,14 @@ def _make_parts(problem: Problem, options: SolverOptions):
         alive = alive & ~grad_exit
 
         # ===== STEP 3: line search (iLQG.c:305-309) =====
+        # ls_alive additionally masks lanes the while/chunk predicate has
+        # retired (done or out of budget): the staged pallas search uses it
+        # to decide whether any lane actually needs the full alpha sweep.
+        ls_alive = alive & ~c.done & (c.it < o.max_iter)
         ls = _run_line_search(
             x0, c.xs, c.us, bp.l, bp.L, bp.dV, c.cost,
             c.mult.mu_le, c.mult.mu_li, c.mult.mu_fe, c.mult.mu_fi,
-            c.w_pen_l, c.w_pen_f, params,
+            c.w_pen_l, c.w_pen_f, ls_alive, params,
         )
         log_linesearch = jnp.where(
             alive,
@@ -715,12 +768,25 @@ class StepwiseSolver:
         donate: bool = True,
         compact_levels: int = 2,
         min_compact_batch: int = 256,
+        mesh=None,
+        mesh_axis: str = "batch",
     ):
+        """``mesh``: optional 1-D ``jax.sharding.Mesh``.  When given, the
+        batch axis of every heavy program (init / chunk-of-iterations /
+        finalize) runs under ``shard_map``: each device executes the full
+        production pipeline -- masked iteration body, Pallas kernels, staged
+        line search -- on its LOCAL batch shard, with no collectives inside
+        a chunk (instances are independent).  Only the host-loop scalars
+        (active count, status stats) and the rare compaction reshuffles are
+        global.  This is the multi-chip form of the reference's
+        one-instance-per-process scaling (``iLQG_mex.c:19-144``), riding the
+        mesh instead of process count."""
         self.options = options
         self.chunk = chunk
         self.compact_levels = compact_levels
         self.min_compact_batch = min_compact_batch
         self.batch_params = batch_params
+        self.mesh = mesh
         o = options
         init_fn, body_fn, finalize_fn = _make_parts(problem, options)
 
@@ -737,12 +803,37 @@ class StepwiseSolver:
             return out
 
         p_axis = 0 if batch_params else None
-        self._init = jax.jit(jax.vmap(init_fn, in_axes=(0, 0, p_axis)))
+        init_v = jax.vmap(init_fn, in_axes=(0, 0, p_axis))
+        chunk_v = jax.vmap(chunk_fn, in_axes=(0, p_axis))
+        fin_v = jax.vmap(finalize_fn)
+
+        if mesh is not None:
+            from jax.experimental.shard_map import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            self._n_shards = mesh.devices.size
+            pb = P(mesh_axis)
+            pp = pb if batch_params else P()
+            init_v = shard_map(
+                init_v, mesh=mesh, in_specs=(pb, pb, pp), out_specs=pb,
+                check_rep=False,
+            )
+            chunk_v = shard_map(
+                chunk_v, mesh=mesh, in_specs=(pb, pp), out_specs=pb,
+                check_rep=False,
+            )
+            fin_v = shard_map(
+                fin_v, mesh=mesh, in_specs=(pb,), out_specs=pb,
+                check_rep=False,
+            )
+        else:
+            self._n_shards = 1
+
+        self._init = jax.jit(init_v)
         self._chunk = jax.jit(
-            jax.vmap(chunk_fn, in_axes=(0, p_axis)),
-            donate_argnums=(0,) if donate else (),
+            chunk_v, donate_argnums=(0,) if donate else ()
         )
-        self._finalize = jax.jit(jax.vmap(finalize_fn))
+        self._finalize = jax.jit(fin_v)
         self._active = jax.jit(
             lambda c: jnp.sum(((~c.done) & (c.it < o.max_iter)).astype(jnp.int32))
         )
@@ -780,6 +871,79 @@ class StepwiseSolver:
             ),
             donate_argnums=(0,),
         )
+
+    def _compact_sizes(self, B: int):
+        """Working-set sizes this batch can shrink through (largest first)."""
+        sizes, s, levels = [B], B, self.compact_levels
+        while (
+            levels > 0
+            and s % 2 == 0
+            and s // 2 >= self.min_compact_batch
+            and (s // 2) % self._n_shards == 0
+        ):
+            s //= 2
+            levels -= 1
+            sizes.append(s)
+        return sizes
+
+    def precompile(self, x0s, u0s, params, max_workers: int = 8) -> float:
+        """Compile every program a solve at this batch shape will need,
+        CONCURRENTLY, before the first timed call.
+
+        A full solve compiles the init program, one chunk program PER
+        compaction working-set size, the finalize program and the small
+        helpers -- serially on first use, mid-run.  jax releases the GIL
+        during backend compilation, so compiling them from a thread pool
+        overlaps the (remote-compile-latency-dominated on relayed TPU
+        backends) work.  Returns elapsed seconds.  The counterpart of the
+        reference's build-once contract (``make_iLQG.m:30-37``): pay
+        "generation" once, up front.
+        """
+        import time as _time
+        from concurrent.futures import ThreadPoolExecutor
+
+        t0 = _time.time()
+        B = int(jnp.shape(x0s)[0])
+        carry_sd = jax.eval_shape(self._init, x0s, u0s, params)
+
+        def zeros_like_sd(sd, size):
+            return jax.tree_util.tree_map(
+                lambda s: jnp.zeros((size,) + s.shape[1:], s.dtype), sd
+            )
+
+        def sub_params(size):
+            if not self.batch_params:
+                return params
+            return jax.tree_util.tree_map(lambda a: a[:size], params)
+
+        tasks = [lambda: self._init(x0s, u0s, params)]
+        sizes = self._compact_sizes(B)
+        for s in sizes:
+            # NB: fresh zero carries per task -- _chunk donates its input.
+            tasks.append(
+                lambda s=s: self._chunk(zeros_like_sd(carry_sd, s),
+                                        sub_params(s))
+            )
+        carry0 = zeros_like_sd(carry_sd, B)
+        tasks.append(lambda: self._finalize(carry0))
+        tasks.append(lambda: self._active(carry0))
+        tasks.append(lambda: self._stats(carry0))
+        if len(sizes) > 1:
+            tasks.append(lambda: self._order(carry0))
+            for s in sizes[1:]:
+                # gather/scatter always address the FULL-size carry with an
+                # index of the (shrunken) working-set length (see __call__).
+                idx = jnp.arange(s)
+                tasks.append(lambda s=s, idx=idx: self._gather(
+                    zeros_like_sd(carry_sd, B), idx))
+                tasks.append(lambda s=s, idx=idx: self._scatter(
+                    zeros_like_sd(carry_sd, B), idx,
+                    zeros_like_sd(carry_sd, s)))
+        with ThreadPoolExecutor(max_workers=max_workers) as ex:
+            futures = [ex.submit(t) for t in tasks]
+            for f in futures:
+                f.result()
+        return _time.time() - t0
 
     def __call__(self, x0s, u0s, params) -> Solution:
         import time as _time
@@ -838,6 +1002,7 @@ class StepwiseSolver:
                 levels_left > 0
                 and size % 2 == 0
                 and size // 2 >= self.min_compact_batch
+                and (size // 2) % self._n_shards == 0
                 and active <= size // 2
             ):
                 if idx is not None:
@@ -870,5 +1035,7 @@ def make_stepwise_solver(
     options: SolverOptions = SolverOptions(),
     chunk: int = 10,
     batch_params: bool = False,
+    mesh=None,
 ) -> StepwiseSolver:
-    return StepwiseSolver(problem, options, chunk=chunk, batch_params=batch_params)
+    return StepwiseSolver(problem, options, chunk=chunk,
+                          batch_params=batch_params, mesh=mesh)

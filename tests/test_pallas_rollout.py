@@ -191,3 +191,85 @@ def test_bench_configuration_stepwise_pallas():
     assert np.all(np.asarray(got.success))
     np.testing.assert_allclose(np.asarray(got.cost), np.asarray(want.cost),
                                rtol=1e-5)
+
+
+def test_staged_line_search_matches_unstaged_per_live_lane():
+    """pallas_line_search_staged == pallas_line_search for live lanes, on
+    both sides of the lax.cond: (a) all lanes accept alpha[0] (quick path),
+    (b) some lane rejects alpha[0] (full path)."""
+    from ddp_generator_tpu.ops.pallas_rollout import pallas_line_search_staged
+
+    problem = car_parking.car_parking()
+    p, x0, _ = car_parking.default_setup(T=30)
+    B, T = 4, 30
+    p = jax.tree_util.tree_map(lambda a: jnp.asarray(a, jnp.float64), p)
+    args = list(_ls_inputs(problem, p, x0, T, B))
+    alphas = tuple(ddp.DEFAULT_ALPHA)
+
+    ref = pallas_line_search(problem, alphas, *args[:7], 0.0, p, *args[7:],
+                             interpret=True)
+    alive = jnp.ones((B,), bool)
+    got = pallas_line_search_staged(problem, alphas, *args[:7], 0.0, p,
+                                    *args[7:], alive=alive, interpret=True)
+    np.testing.assert_array_equal(np.asarray(ref.success),
+                                  np.asarray(got.success))
+    np.testing.assert_array_equal(np.asarray(ref.alpha_index),
+                                  np.asarray(got.alpha_index))
+    np.testing.assert_array_equal(np.asarray(ref.new_cost),
+                                  np.asarray(got.new_cost))
+    np.testing.assert_array_equal(np.asarray(ref.xs), np.asarray(got.xs))
+    np.testing.assert_array_equal(np.asarray(ref.us), np.asarray(got.us))
+
+    # Force the full path: poison lane 2's gains so alpha[0] overshoots
+    # (huge step -> cost increase or NaN) and a smaller alpha is taken.
+    l_bad = args[3].at[2].mul(200.0)
+    args_b = args.copy()
+    args_b[3] = l_bad
+    ref_b = pallas_line_search(problem, alphas, *args_b[:7], 0.0, p,
+                               *args_b[7:], interpret=True)
+    got_b = pallas_line_search_staged(problem, alphas, *args_b[:7], 0.0, p,
+                                      *args_b[7:], alive=alive,
+                                      interpret=True)
+    assert not bool(jnp.all(ref_b.alpha_index == 0)), \
+        "fixture should force the full path"
+    np.testing.assert_array_equal(np.asarray(ref_b.success),
+                                  np.asarray(got_b.success))
+    np.testing.assert_array_equal(np.asarray(ref_b.alpha_index),
+                                  np.asarray(got_b.alpha_index))
+    np.testing.assert_array_equal(np.asarray(ref_b.new_cost),
+                                  np.asarray(got_b.new_cost))
+    np.testing.assert_array_equal(np.asarray(ref_b.xs), np.asarray(got_b.xs))
+
+    # Same poisoned batch but lane 2 dead: the quick path is taken and live
+    # lanes still get identical results.
+    alive_d = alive.at[2].set(False)
+    got_d = pallas_line_search_staged(problem, alphas, *args_b[:7], 0.0, p,
+                                      *args_b[7:], alive=alive_d,
+                                      interpret=True)
+    live = np.asarray(alive_d)
+    np.testing.assert_array_equal(np.asarray(ref_b.alpha_index)[live],
+                                  np.asarray(got_d.alpha_index)[live])
+    np.testing.assert_array_equal(np.asarray(ref_b.new_cost)[live],
+                                  np.asarray(got_d.new_cost)[live])
+    np.testing.assert_array_equal(np.asarray(ref_b.xs)[live],
+                                  np.asarray(got_d.xs)[live])
+
+
+def test_solver_staged_vs_unstaged_linesearch():
+    """End-to-end: staged and unstaged pallas line search produce identical
+    solves (per-lane results are scheduling-invariant)."""
+    problem = car_parking.car_parking()
+    p, x0, _ = car_parking.default_setup(T=40)
+    B, T = 4, 40
+    rng = np.random.default_rng(0)
+    x0s = np.tile(np.asarray(x0), (B, 1))
+    u0s = 0.1 * rng.standard_normal((B, T, 2))
+    o = ddp.SolverOptions(max_iter=30, linesearch_method="pallas")
+    s_st = ddp.make_batched_solver(problem, o)(x0s, u0s, p)
+    s_un = ddp.make_batched_solver(
+        problem, o.replace(linesearch_staged=False))(x0s, u0s, p)
+    np.testing.assert_array_equal(np.asarray(s_st.cost),
+                                  np.asarray(s_un.cost))
+    np.testing.assert_array_equal(np.asarray(s_st.iterations),
+                                  np.asarray(s_un.iterations))
+    np.testing.assert_array_equal(np.asarray(s_st.us), np.asarray(s_un.us))
