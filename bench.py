@@ -71,6 +71,13 @@ def main():
         "--no-precompile", action="store_true",
         help="skip the concurrent program precompile before the first run",
     )
+    ap.add_argument(
+        "--artifact", default=None,
+        help="AOT artifact path: load a prebuilt exported solver (written "
+        "on first use; fixed batch baked in).  Runs the plain batched "
+        "while_loop solver -- no stepwise chunking/compaction -- but with "
+        "near-zero compile time on reuse.",
+    )
     args = ap.parse_args()
 
     import jax
@@ -128,6 +135,19 @@ def main():
     x0s = np.tile(np.asarray(x0, np_dtype), (B, 1))
     u0s = (0.1 * rng.standard_normal((B, args.T, 2))).astype(np_dtype)
     p = {k: np.asarray(v, np_dtype) for k, v in p.items()}
+
+    if args.artifact:
+        from ddp_generator_tpu import aot
+
+        t0 = time.time()
+        wrote = aot.save_solver(args.artifact, problem, options, args.T, p,
+                                batch=B)
+        log(f"artifact {'exported+written' if wrote else 'reused'} "
+            f"({time.time()-t0:.1f}s): {args.artifact}")
+        t0 = time.time()
+        solver = aot.load_solver_file(args.artifact)
+        log(f"artifact loaded in {time.time()-t0:.1f}s")
+        args.no_precompile = True
 
     # NB: np.asarray (not block_until_ready) is the sync point -- on relayed
     # TPU backends block_until_ready can return before execution finishes.

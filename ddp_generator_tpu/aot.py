@@ -93,13 +93,36 @@ def export_solver(
       the current default backend.
     """
     _ensure_registered()
+    uses_pallas = (
+        options.backpass_method in ("pallas", "fused")
+        or options.linesearch_method == "pallas"
+    )
+    if uses_pallas and isinstance(batch, str):
+        # Mosaic kernels have static shapes: the lane-padded (C, B) blocks
+        # cannot be lowered with a symbolic batch dim.  Same tradeoff as the
+        # reference baking N_X/N_U into the artifact (iLQG_problem.h) --
+        # one exported artifact per batch size.
+        raise ValueError(
+            "Pallas-kernel solvers cannot be exported with a symbolic "
+            "batch dim; pass a fixed integer batch"
+        )
     fn = make_solver(problem, options)
     if batch is not None:
         fn = jax.jit(jax.vmap(fn, in_axes=(0, 0, None)))
     specs = _arg_specs(problem, horizon, params, options.dtype, batch)
-    exp = jexport.export(fn, platforms=tuple(platforms) if platforms else None)(
-        *specs
-    )
+    # Mosaic kernels lower to the "tpu_custom_call" custom call, which
+    # jax.export rejects by default as not-stability-guaranteed; the bench
+    # artifact is rebuilt per jax version (save_solver force flag), so the
+    # in-version escape hatch is the right trade.
+    disabled = ()
+    plats = tuple(platforms) if platforms else (jax.default_backend(),)
+    if uses_pallas and any(p.lower() == "tpu" for p in plats):
+        disabled = (jexport.DisabledSafetyCheck.custom_call("tpu_custom_call"),)
+    exp = jexport.export(
+        fn,
+        platforms=tuple(platforms) if platforms else None,
+        disabled_checks=list(disabled),
+    )(*specs)
     return bytes(exp.serialize())
 
 

@@ -80,3 +80,35 @@ def test_shape_mismatch_rejected():
     bad_u = np.zeros((9, 2))  # wrong horizon, like iLQG_mex.c:39-43 dim check
     with pytest.raises(Exception):
         np.asarray(restored(x0, bad_u, p).cost)
+
+
+def test_roundtrip_bench_configuration_fixed_batch():
+    """The bench configuration (pallas backpass + staged pallas line search)
+    exports and round-trips at a FIXED batch (round-2 verdict item 7).  On
+    CPU the kernels lower in interpret mode (plain StableHLO); on TPU the
+    export carries tpu_custom_call with the safety check disabled."""
+    problem, p, x0, u0 = _setup()
+    o = ddp.SolverOptions(max_iter=4, dtype="float64",
+                          backpass_method="pallas",
+                          linesearch_method="pallas")
+    B = 3
+    rng = np.random.default_rng(0)
+    x0s = np.tile(x0, (B, 1))
+    u0s = 0.1 * rng.standard_normal((B,) + u0.shape)
+    blob = aot.export_solver(problem, o, horizon=u0.shape[0], params=p,
+                             batch=B)
+    restored = aot.load_solver(blob)
+    got = restored(x0s, u0s, p)
+    want = ddp.make_batched_solver(problem, o)(x0s, u0s, p)
+    np.testing.assert_allclose(np.asarray(got.cost), np.asarray(want.cost),
+                               rtol=1e-12)
+    np.testing.assert_array_equal(np.asarray(got.iterations),
+                                  np.asarray(want.iterations))
+
+
+def test_symbolic_batch_with_pallas_rejected():
+    problem, p, x0, u0 = _setup()
+    o = ddp.SolverOptions(max_iter=2, backpass_method="pallas")
+    with pytest.raises(ValueError, match="symbolic"):
+        aot.export_solver(problem, o, horizon=u0.shape[0], params=p,
+                          batch="B")
