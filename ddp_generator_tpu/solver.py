@@ -766,8 +766,8 @@ class StepwiseSolver:
         chunk: int = 10,
         batch_params: bool = False,
         donate: bool = True,
-        compact_levels: int = 2,
-        min_compact_batch: int = 256,
+        compact_levels: int = 4,
+        min_compact_batch: int = 128,
         mesh=None,
         mesh_axis: str = "batch",
     ):

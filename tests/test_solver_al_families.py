@@ -80,9 +80,10 @@ def test_hfi_final_inequality_active_at_boundary():
     )
     sol = ddp.solve(prob, x0, u0, p, opts)
     pos_N = float(sol.xs[-1, 0])
-    # constraint satisfied and active (effort cost pushes onto the boundary)
-    assert pos_N > 1.0 - 1e-3
-    assert pos_N < 1.05
+    # constraint satisfied and active (effort cost pushes onto the boundary;
+    # measured 1.0000016 -- the AL multiplier pins it to ~tolConstraint)
+    assert pos_N > 1.0 - 1e-5
+    assert pos_N < 1.0 + 1e-4
     assert float(sol.cost) > 0.0
 
 
@@ -127,5 +128,8 @@ def test_brachistochrone_n500_converges_to_cycloid():
     xgrid = np.linspace(0, 2 * np.pi, n + 1)
     y = np.asarray(sol.xs[:, 0])
     err = np.abs(y - np.interp(xgrid, xs_c, ys_c))
-    assert np.max(err[n // 2:]) < 5e-3
-    assert np.max(err) < 0.05
+    # measured: 8.7e-4 on the second half, 1.14e-2 near the (singular,
+    # infinite-slope) start of the cycloid where the discretization itself
+    # limits accuracy
+    assert np.max(err[n // 2:]) < 2e-3
+    assert np.max(err) < 2e-2
