@@ -41,6 +41,15 @@ if __name__ == "__main__":
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 512
     K = int(sys.argv[2]) if len(sys.argv) > 2 else 20
     only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
+    # Optional on-device profiler capture: PROFILE_TRACE_DIR=/tmp/xprof
+    # wraps every timed section in a jax.profiler trace (viewable with
+    # xprof/tensorboard) -- the deep-dive layer under these wall numbers.
+    trace_dir = os.environ.get("PROFILE_TRACE_DIR")
+    if trace_dir:
+        jax.profiler.start_trace(trace_dir)
+        import atexit
+
+        atexit.register(jax.profiler.stop_trace)
     T = 500
     dtype = "float32" if jax.default_backend() == "tpu" else "float64"
     log(f"backend={jax.default_backend()} B={B} K={K} dtype={dtype}")

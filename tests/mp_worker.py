@@ -66,20 +66,33 @@ def main():
     solver = pmesh.make_sharded_solver(prob, opts, mesh=mesh)
     sol, stats = solver(x0s, u0s, p)
 
-    #
+    # Production throughput path across the same 2-process mesh:
+    # StepwiseSolver (host-chunked, compaction) + Pallas kernels (interpret
+    # on CPU) + staged line search under shard_map.  The host loops of both
+    # processes stay in lockstep because the active count reduces to a
+    # replicated scalar.
+    prod_opts = opts.replace(backpass_method="pallas",
+                             linesearch_method="pallas", debug_level=0)
+    stepwise = ddp.StepwiseSolver(prob, prod_opts, chunk=4,
+                                  compact_levels=1, min_compact_batch=8,
+                                  mesh=mesh)
+    sol2 = stepwise(x0s, u0s, p)
 
-    # per-lane costs of this process's shards, tagged with their batch offset
-    shards = sorted(sol.cost.addressable_shards, key=lambda s: s.index[0].start)
-    local = [
-        {"start": int(s.index[0].start), "costs": np.asarray(s.data).tolist()}
-        for s in shards
-    ]
+    def shard_dump(arr):
+        shards = sorted(arr.addressable_shards, key=lambda s: s.index[0].start)
+        return [
+            {"start": int(s.index[0].start),
+             "costs": np.asarray(s.data).tolist()}
+            for s in shards
+        ]
+
     result = {
         "pid": pid,
         "n_global_devices": n_global,
         "n_success": int(stats.n_success),
         "mean_cost": float(stats.mean_cost),
-        "local": local,
+        "local": shard_dump(sol.cost),
+        "local_stepwise": shard_dump(sol2.cost),
     }
     with open(os.path.join(out_dir, f"result_{pid}.json"), "w") as fh:
         json.dump(result, fh)

@@ -55,12 +55,17 @@ def test_two_process_sharded_solve(tmp_path):
     assert results[0]["mean_cost"] == pytest.approx(results[1]["mean_cost"])
 
     # reassemble the per-lane costs from both processes' shards
-    costs = np.full(B, np.nan)
-    for r in results:
-        for shard in r["local"]:
-            vals = np.asarray(shard["costs"])
-            costs[shard["start"]:shard["start"] + len(vals)] = vals
-    assert not np.isnan(costs).any()
+    def reassemble(key):
+        costs = np.full(B, np.nan)
+        for r in results:
+            for shard in r[key]:
+                vals = np.asarray(shard["costs"])
+                costs[shard["start"]:shard["start"] + len(vals)] = vals
+        assert not np.isnan(costs).any()
+        return costs
+
+    costs = reassemble("local")
+    costs_stepwise = reassemble("local_stepwise")
 
     # must equal the single-process batched solve
     prob = brachistochrone.brachistochrone()
@@ -73,3 +78,8 @@ def test_two_process_sharded_solve(tmp_path):
     u0s = -np.abs(rng.uniform(0.5, 1.5, (B, 30, 1)))
     want = ddp.make_batched_solver(prob, opts)(x0s, u0s, p)
     np.testing.assert_allclose(costs, np.asarray(want.cost), rtol=1e-10)
+    # The production path (StepwiseSolver + compaction + Pallas kernels +
+    # staged line search, sharded across the two processes) must agree too
+    # (pallas_math transcendental substitutions differ at roundoff).
+    np.testing.assert_allclose(costs_stepwise, np.asarray(want.cost),
+                               rtol=1e-6)
