@@ -72,6 +72,11 @@ def main():
         help="skip the concurrent program precompile before the first run",
     )
     ap.add_argument(
+        "--debug", type=int, default=0,
+        help="solver debug_level (>=1 prints per-chunk status; costs one "
+        "host sync per chunk inside the timed loop)",
+    )
+    ap.add_argument(
         "--artifact", default=None,
         help="AOT artifact path: load a prebuilt exported solver (written "
         "on first use; fixed batch baked in).  Runs the plain batched "
@@ -112,6 +117,11 @@ def main():
         scan_unroll=args.unroll, backpass_method=backpass,
         linesearch_method=linesearch,
         linesearch_staged=not args.no_staged_ls,
+        # debug_level 0: the per-chunk status line costs a host round trip
+        # per chunk inside the TIMED loop -- dominated wall time on the
+        # relayed backend (~0.2 s/chunk of pure sync latency).  Re-enable
+        # with --debug for the trace.
+        debug_level=args.debug,
     )
     mesh = None
     n_chips = 1

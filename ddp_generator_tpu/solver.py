@@ -850,7 +850,12 @@ class StepwiseSolver:
             big = jnp.asarray(jnp.inf, c.lam.dtype)
             lam_lo = jnp.min(jnp.where(act, c.lam, big))
             lam_hi = jnp.max(jnp.where(act, c.lam, -big))
-            return mean_cost, mean_it, lam_lo, lam_hi
+            # ONE stacked array -> one host transfer (each scalar fetch is a
+            # full round trip on relayed backends).
+            return jnp.stack([
+                mean_cost.astype(c.cost.dtype), mean_it.astype(c.cost.dtype),
+                lam_lo.astype(c.cost.dtype), lam_hi.astype(c.cost.dtype),
+            ])
 
         self._stats = jax.jit(_status_stats)
         # Compaction helpers (jit re-specializes per working-set shape):
@@ -976,17 +981,28 @@ class StepwiseSolver:
         n_lam_steps = 2 + int(_np.ceil(
             _np.log(max(o.lambdaMax / lam_lo, 2.0)) / _np.log(o.lambdaFactor)
         ))
-        n_calls = max(1, -(-o.max_iter * (1 + n_lam_steps) // self.chunk))
+        # +2: the pipelined active check lags one chunk behind (see below).
+        n_calls = max(1, -(-o.max_iter * (1 + n_lam_steps) // self.chunk)) + 2
+        # The active-count check is PIPELINED one chunk behind: jax dispatch
+        # is async, so the next chunk is enqueued before the previous chunk's
+        # count is fetched -- the host<->device round trip (tens of ms per
+        # sync on relayed TPU backends, which dominated wall time once the
+        # iteration body dropped to a few ms) overlaps device work.  Costs at
+        # most one extra (empty: the vmapped while cond exits immediately)
+        # chunk call after all lanes finish, and delays compaction decisions
+        # by one chunk (the count only shrinks, so acting on a stale count is
+        # merely conservative).  debug_level >= 1 keeps the synchronous path:
+        # observability mode prints true per-chunk state.
         exhausted = True
+        pending = None  # device scalar: active count AFTER the previous chunk
         for chunk_i in range(n_calls):
             small = self._chunk(small, cur_params)
-            # One scalar transfer per chunk: stop as soon as every lane is
-            # done (converged instances are no-ops inside a chunk anyway).
-            active = int(self._active(small))
+            act_dev = self._active(small)
             if o.debug_level >= 1:
                 import sys as _sys
 
-                mc, mi, llo, lhi = (float(v) for v in self._stats(small))
+                active = int(act_dev)
+                mc, mi, llo, lhi = _np.asarray(self._stats(small))
                 print(
                     f"chunk {chunk_i + 1}: active {active}/{size}"
                     f"  mean iter {mi:.1f}  mean cost {mc:.6g}"
@@ -995,6 +1011,12 @@ class StepwiseSolver:
                     f"  t={_time.time() - t_start:.1f}s",
                     file=_sys.stderr, flush=True,
                 )
+            else:
+                if pending is None:
+                    pending = act_dev
+                    continue
+                active = int(pending)
+                pending = act_dev
             if active == 0:
                 exhausted = False
                 break
@@ -1015,7 +1037,7 @@ class StepwiseSolver:
                 small = self._gather(full, idx)
                 if self.batch_params:
                     cur_params = sub_params(idx)
-        if exhausted:
+        if exhausted and int(self._active(small)) != 0:
             # Unreachable under correct masking (see the bound above); fail
             # loudly rather than silently finalizing still-active lanes.
             raise RuntimeError(

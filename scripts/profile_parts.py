@@ -79,13 +79,21 @@ if __name__ == "__main__":
     wl, wf = carry.w_pen_l, carry.w_pen_f
     lam = carry.lam
 
+    # acc0 enters as a jit ARGUMENT (not a closed-over constant): with a
+    # constant seed XLA can unroll small-K fori_loops and constant-fold the
+    # entire computation at compile time (observed: "0.06 ms" calc_derivs).
+    _acc0 = jnp.asarray(
+        1e-30 * np.random.default_rng(123).standard_normal(B), jnp.dtype(dtype)
+    )
+
     def loopK(step):
         """step: (i, acc_scalar(B,)) -> acc_scalar(B,); run K times."""
-        def fn():
+        def fn(acc0):
             def body(i, acc):
                 return step(i, acc)
-            return lax.fori_loop(0, K, body, jnp.zeros((B,), jnp.dtype(dtype)))
-        return jax.jit(fn)
+            return lax.fori_loop(0, K, body, acc0)
+        jfn = jax.jit(fn)
+        return lambda: jfn(_acc0)
 
     def timeK(name, fn):
         if only is not None and not any(s in name for s in only):
@@ -131,7 +139,7 @@ if __name__ == "__main__":
         return acc + bp.g_norm * 1e-30
     timeK("back_pass", loopK(step_bp))
 
-    # ---- back_pass (pallas fused kernel) ----
+    # ---- back_pass (pallas fused kernel, batch-major adapter) ----
     from ddp_generator_tpu.ops.pallas_backpass import batched_back_pass_pallas
     interp = jax.default_backend() != "tpu"
     pbp = lambda d, us, lm: batched_back_pass_pallas(
@@ -140,9 +148,62 @@ if __name__ == "__main__":
     def step_pbp(i, acc):
         bp = pbp(d0, carry.us + 1e-30 * acc[:, None, None], lam)
         return acc + bp.g_norm * 1e-30
-    timeK("back_pass_pallas", loopK(step_pbp))
+    # NB: at B=2048 the K-looped adapter HLO exceeds the relay's
+    # remote-compile payload limit (HTTP 413); filter it out there.
+    timeK("back_pass_pallas (adapter)", loopK(step_pbp))
 
-    bp0 = jax.jit(pbp)(d0, carry.us, lam)
+    # ---- production path: packed CM derivs emission ----
+    from ddp_generator_tpu.ops.cm_derivs import (
+        batched_calc_derivs_cm, cm_derivs_back_pass,
+    )
+    lam_b = jnp.broadcast_to(lam, (B,))
+    wl_v = jnp.broadcast_to(wl, (B,))
+    wf_v = jnp.broadcast_to(wf, (B,))
+
+    # bp0 (line-search inputs) via the production path, not the adapter.
+    bp0, _dok0 = jax.jit(
+        lambda xs, us, lm: cm_derivs_back_pass(
+            problem, xs, us, mult.mu_le, mult.mu_li, mult.mu_fe,
+            mult.mu_fi, wl_v, wf_v, lm, p, o.regType, o.full_ddp,
+            interpret=interp)
+    )(carry.xs, carry.us, lam_b)
+
+    def step_cmd(i, acc):
+        sd, fcx, fcxx, ok = batched_calc_derivs_cm(
+            problem, carry.xs + 1e-30 * acc[:, None, None], carry.us, p,
+            mult.mu_le, mult.mu_li, mult.mu_fe, mult.mu_fi,
+            wl_v, wf_v, o.full_ddp)
+        return acc + fcx[0] * 1e-30
+    timeK("calc_derivs_cm (packed)", loopK(step_cmd))
+
+    # ---- production path: derivs + pallas backpass combined ----
+    def step_cmbp(i, acc):
+        bp, ok = cm_derivs_back_pass(
+            problem, carry.xs + 1e-30 * acc[:, None, None], carry.us,
+            mult.mu_le, mult.mu_li, mult.mu_fe, mult.mu_fi,
+            wl_v, wf_v, lam_b, p, o.regType, o.full_ddp, interpret=interp)
+        return acc + bp.g_norm * 1e-30
+    timeK("derivs+backpass_cm (prod)", loopK(step_cmbp))
+
+    # ---- pallas backpass kernel ONLY (pre-packed CM inputs) ----
+    from ddp_generator_tpu.derivs import StepDerivs
+    from ddp_generator_tpu.ops.pallas_backpass import pallas_back_pass_cm
+    sd0, fcx0, fcxx0, _ok0 = jax.jit(
+        lambda xs: batched_calc_derivs_cm(
+            problem, xs, carry.us, p, mult.mu_le, mult.mu_li,
+            mult.mu_fe, mult.mu_fi, wl_v, wf_v, o.full_ddp)
+    )(carry.xs)
+    us_cm0 = jnp.transpose(carry.us, (1, 2, 0))
+
+    def step_kern(i, acc):
+        l_cm, L_cm, dV, g, failed = pallas_back_pass_cm(
+            StepDerivs(**{k: (v + 1e-30 * acc[None, None, :]
+                              if k == 'cx' else v)
+                          for k, v in sd0.items()}),
+            fcx0, fcxx0, us_cm0, lam_b[None, :], problem.n_x,
+            reg_type=o.regType, full_ddp=o.full_ddp, interpret=interp)
+        return acc + g[0] * 1e-30
+    timeK("backpass kernel only (CM in)", loopK(step_kern))
 
     # ---- line_search ----
     alphas = jnp.asarray(o.alpha, jnp.dtype(dtype))
@@ -158,7 +219,9 @@ if __name__ == "__main__":
     timeK("line_search (8 alphas)", loopK(step_ls))
 
     # ---- pallas line_search ----
-    from ddp_generator_tpu.ops.pallas_rollout import pallas_line_search
+    from ddp_generator_tpu.ops.pallas_rollout import (
+        pallas_line_search, pallas_line_search_staged,
+    )
     alpha_tuple = tuple(float(a) for a in o.alpha)
     wl_b = jnp.broadcast_to(wl, (B,))
     wf_b = jnp.broadcast_to(wf, (B,))
@@ -171,6 +234,26 @@ if __name__ == "__main__":
             mult.mu_fi, wl_b, wf_b, interpret=interp)
         return acc + ls.new_cost * 1e-30
     timeK("line_search_pallas", loopK(step_pls))
+
+    # ---- staged pallas line_search: quick path (no live lane rejects --
+    # alive=False everywhere forces the alpha[0]-only branch) and full path
+    # (alive=True: the init-rollout inputs reject alpha[0], so this costs
+    # stage1 + sweep + selected) ----
+    no_live = jnp.zeros((B,), bool)
+    all_live = jnp.ones((B,), bool)
+
+    def step_sls(alive):
+        def fn(i, acc):
+            ls = pallas_line_search_staged(
+                problem, alpha_tuple, carry.xs[:, 0], carry.xs,
+                carry.us + 1e-30 * acc[:, None, None], bp0.l, bp0.L,
+                bp0.dV, carry.cost, o.zMin, p, mult.mu_le, mult.mu_li,
+                mult.mu_fe, mult.mu_fi, wl_b, wf_b, alive=alive,
+                interpret=interp)
+            return acc + ls.new_cost * 1e-30
+        return fn
+    timeK("line_search_staged quick", loopK(step_sls(no_live)))
+    timeK("line_search_staged full", loopK(step_sls(all_live)))
 
     # ---- forward_pass (1 alpha) ----
     vfp = jax.vmap(
