@@ -315,11 +315,18 @@ def riccati_step(
     return l_k, L_k, dv0, dv1, Vx_new, Vxx_new, g_k, step_failed_f
 
 
-def _make_kernel(n_x: int, n_u: int, reg_type: int, full_ddp: bool, N: int):
+def _make_kernel(n_x: int, n_u: int, reg_type: int, full_ddp: bool, N: int,
+                 S: int = 1):
+    """S = time steps per grid iteration.  The recursion math per step is a
+    few thousand lane-vector ops (~1-2 us of VPU work at B=2048) while a TPU
+    grid step costs ~4 us of fixed sequencing/DMA overhead -- measured: the
+    whole S=1 kernel runs at ~2.1 ms for N=500 regardless of per-step work.
+    Blocking S steps per grid iteration amortizes that fixed cost; the S
+    sub-steps run as an unrolled in-kernel loop on VMEM-resident blocks."""
     NX, NU = n_x, n_u
 
     def kernel(
-        # inputs (per-step blocks, shape (1, C, B)); FULL_DDP tensor refs
+        # inputs (per-block refs, shape (S, C, B)); FULL_DDP tensor refs
         # present only when full_ddp:
         *refs,
     ):
@@ -336,19 +343,18 @@ def _make_kernel(n_x: int, n_u: int, reg_type: int, full_ddp: bool, N: int):
         l_ref, L_ref, dv_ref, gnorm_ref, failed_ref = (
             next(it), next(it), next(it), next(it), next(it)
         )
-        vx_s, vxx_s, lprev_s, dv_s, g_s, fail_s = (
-            next(it), next(it), next(it), next(it), next(it), next(it)
+        vx_s, vxx_s, dv_s, g_s, fail_s = (
+            next(it), next(it), next(it), next(it), next(it)
         )
 
         i = pl.program_id(0)
         is_first = i == 0
-        is_last = i == N - 1
+        is_last = i == (N // S) - 1
 
         @pl.when(is_first)
         def _init():
             vx_s[...] = vx0_ref[...]
             vxx_s[...] = vxx0_ref[...]
-            lprev_s[...] = jnp.zeros_like(lprev_s)
             dv_s[...] = jnp.zeros_like(dv_s)
             g_s[...] = jnp.zeros_like(g_s)
             fail_s[...] = jnp.zeros_like(fail_s)
@@ -363,68 +369,88 @@ def _make_kernel(n_x: int, n_u: int, reg_type: int, full_ddp: bool, N: int):
         TXS, TUS = tri_size(NX), tri_size(NU)
 
         lam = lam_ref[0, :]
+        # Value-function carry as in-register values across the unrolled
+        # in-block steps; flushed to VMEM scratch once per grid iteration.
         Vx = [vx_s[a, :] for a in range(NX)]
         Vxx = [[vxx_s[XX(a, b), :] for b in range(NX)] for a in range(NX)]
+        dv_acc = [dv_s[0, :], dv_s[1, :]]
+        g_acc = g_s[0, :]
+        fail_acc = fail_s[0, :]
 
-        fx = [[fx_ref[0, XX(a, b), :] for b in range(NX)] for a in range(NX)]
-        fu = [[fu_ref[0, XU(a, b), :] for b in range(NU)] for a in range(NX)]
-        cx = [cx_ref[0, a, :] for a in range(NX)]
-        cu = [cu_ref[0, a, :] for a in range(NU)]
-        cxx = [[cxx_ref[0, TX(a, b), :] for b in range(NX)] for a in range(NX)]
-        cuu = [[cuu_ref[0, TU(a, b), :] for b in range(NU)] for a in range(NU)]
-        cxu = [[cxu_ref[0, XU(a, b), :] for b in range(NU)] for a in range(NX)]
-        if full_ddp:
-            # (i, packed(a, b)) indices on the C axis; the last two axes of
-            # fxx/fuu are symmetric (mixed-partial symmetry)
-            fxx = [[[fxx_ref[0, i_ * TXS + TX(a, b), :] for b in range(NX)]
-                    for a in range(NX)] for i_ in range(NX)]
-            fuu = [[[fuu_ref[0, i_ * TUS + TU(a, b), :] for b in range(NU)]
-                    for a in range(NU)] for i_ in range(NX)]
-            fxu = [[[fxu_ref[0, (i_ * NX + a) * NU + b, :] for b in range(NU)]
-                    for a in range(NX)] for i_ in range(NX)]
-        else:
-            fxx = fuu = fxu = None
-        lower = [lower_ref[0, a, :] for a in range(NU)]
-        upper = [upper_ref[0, a, :] for a in range(NU)]
-        # lower_hx/upper_hx are (n_u, n_x) row-major on the component axis.
-        lo_hx = [[lo_hx_ref[0, a * NX + b, :] for b in range(NX)]
-                 for a in range(NU)]
-        up_hx = [[up_hx_ref[0, a * NX + b, :] for b in range(NX)]
-                 for a in range(NU)]
-        lo_s = [lo_s_ref[0, a, :] for a in range(NU)]
-        up_s = [up_s_ref[0, a, :] for a in range(NU)]
-        u_k = [u_ref[0, a, :] for a in range(NU)]
+        # Reverse time inside the block: in-block row j is time step
+        # block_start + j, so the recursion visits j = S-1 .. 0.
+        for j in range(S - 1, -1, -1):
+            fx = [[fx_ref[j, XX(a, b), :] for b in range(NX)]
+                  for a in range(NX)]
+            fu = [[fu_ref[j, XU(a, b), :] for b in range(NU)]
+                  for a in range(NX)]
+            cx = [cx_ref[j, a, :] for a in range(NX)]
+            cu = [cu_ref[j, a, :] for a in range(NU)]
+            cxx = [[cxx_ref[j, TX(a, b), :] for b in range(NX)]
+                   for a in range(NX)]
+            cuu = [[cuu_ref[j, TU(a, b), :] for b in range(NU)]
+                   for a in range(NU)]
+            cxu = [[cxu_ref[j, XU(a, b), :] for b in range(NU)]
+                   for a in range(NX)]
+            if full_ddp:
+                # (i, packed(a, b)) indices on the C axis; the last two axes
+                # of fxx/fuu are symmetric (mixed-partial symmetry)
+                fxx = [[[fxx_ref[j, i_ * TXS + TX(a, b), :]
+                         for b in range(NX)]
+                        for a in range(NX)] for i_ in range(NX)]
+                fuu = [[[fuu_ref[j, i_ * TUS + TU(a, b), :]
+                         for b in range(NU)]
+                        for a in range(NU)] for i_ in range(NX)]
+                fxu = [[[fxu_ref[j, (i_ * NX + a) * NU + b, :]
+                         for b in range(NU)]
+                        for a in range(NX)] for i_ in range(NX)]
+            else:
+                fxx = fuu = fxu = None
+            lower = [lower_ref[j, a, :] for a in range(NU)]
+            upper = [upper_ref[j, a, :] for a in range(NU)]
+            # lower_hx/upper_hx are (n_u, n_x) row-major on the comp axis.
+            lo_hx = [[lo_hx_ref[j, a * NX + b, :] for b in range(NX)]
+                     for a in range(NU)]
+            up_hx = [[up_hx_ref[j, a * NX + b, :] for b in range(NX)]
+                     for a in range(NU)]
+            lo_s = [lo_s_ref[j, a, :] for a in range(NU)]
+            up_s = [up_s_ref[j, a, :] for a in range(NU)]
+            u_k = [u_ref[j, a, :] for a in range(NU)]
 
-        l_k, L_k, dv0, dv1, Vx_new, Vxx_new, g_k, step_failed_f = riccati_step(
-            NX, NU, reg_type, full_ddp,
-            fx, fu, cx, cu, cxx, cuu, cxu, fxx, fuu, fxu,
-            lower, upper, lo_hx, up_hx, lo_s, up_s, u_k, lam,
-            Vx, Vxx,
-        )
+            (l_k, L_k, dv0, dv1, Vx_new, Vxx_new, g_k,
+             step_failed_f) = riccati_step(
+                NX, NU, reg_type, full_ddp,
+                fx, fu, cx, cu, cxx, cuu, cxu, fxx, fuu, fxu,
+                lower, upper, lo_hx, up_hx, lo_s, up_s, u_k, lam,
+                Vx, Vxx,
+            )
 
-        # live = 1 while no step has failed yet (freeze after failure)
-        fail_now = jnp.minimum(fail_s[0, :] + step_failed_f, 1.0)
-        live = 1.0 - fail_now
+            # live = 1 while no step has failed yet (freeze after failure)
+            fail_acc = jnp.minimum(fail_acc + step_failed_f, 1.0)
+            live = 1.0 - fail_acc
 
-        # write per-step outputs (zero once failed, like the scan version)
-        for a in range(NU):
-            l_ref[0, a, :] = live * l_k[a]
-            for b in range(NX):
-                L_ref[0, a * NX + b, :] = live * L_k[a][b]
+            # write per-step outputs (zero once failed, like the scan
+            # version)
+            for a in range(NU):
+                l_ref[j, a, :] = live * l_k[a]
+                for b in range(NX):
+                    L_ref[j, a * NX + b, :] = live * L_k[a][b]
 
-        # carry updates (freeze after failure)
+            # carry updates (freeze after failure)
+            Vx = [Vx[a] + live * (Vx_new[a] - Vx[a]) for a in range(NX)]
+            Vxx = [[Vxx[a][b] + live * (Vxx_new[a][b] - Vxx[a][b])
+                    for b in range(NX)] for a in range(NX)]
+            dv_acc = [dv_acc[0] + live * dv0, dv_acc[1] + live * dv1]
+            g_acc = g_acc + live * g_k
+
         for a in range(NX):
-            vx_s[a, :] = vx_s[a, :] + live * (Vx_new[a] - vx_s[a, :])
+            vx_s[a, :] = Vx[a]
             for b in range(NX):
-                vxx_s[XX(a, b), :] = vxx_s[XX(a, b), :] + live * (
-                    Vxx_new[a][b] - vxx_s[XX(a, b), :]
-                )
-        for a in range(NU):
-            lprev_s[a, :] = lprev_s[a, :] + live * (l_k[a] - lprev_s[a, :])
-        dv_s[0, :] = dv_s[0, :] + live * dv0
-        dv_s[1, :] = dv_s[1, :] + live * dv1
-        g_s[0, :] = g_s[0, :] + live * g_k
-        fail_s[0, :] = fail_now
+                vxx_s[XX(a, b), :] = Vxx[a][b]
+        dv_s[0, :] = dv_acc[0]
+        dv_s[1, :] = dv_acc[1]
+        g_s[0, :] = g_acc
+        fail_s[0, :] = fail_acc
 
         @pl.when(is_last)
         def _fin():
@@ -435,8 +461,21 @@ def _make_kernel(n_x: int, n_u: int, reg_type: int, full_ddp: bool, N: int):
     return kernel
 
 
+def _pick_time_block(N: int, comps_per_step: int, B: int, itemsize: int,
+                     vmem_budget: int = 11 * 2 ** 20) -> int:
+    """Largest divisor S of N whose double-buffered blocks fit the VMEM
+    budget (~16 MB/core total; leave slack for scratch + compiler temps)."""
+    per_step = comps_per_step * B * itemsize * 2  # x2: double buffering
+    best = 1
+    for s in range(2, min(N, 16) + 1):
+        if N % s == 0 and s * per_step <= vmem_budget:
+            best = s
+    return best
+
+
 @functools.partial(
-    jax.jit, static_argnames=("n_x", "reg_type", "full_ddp", "interpret")
+    jax.jit,
+    static_argnames=("n_x", "reg_type", "full_ddp", "interpret", "time_block"),
 )
 def pallas_back_pass_cm(
     sd_cm,  # StepDerivs pytree, COMPONENT-MAJOR (N, C, B); cxx/cuu and the
@@ -449,21 +488,10 @@ def pallas_back_pass_cm(
     reg_type: int,
     full_ddp: bool,
     interpret: bool = False,
+    time_block: int | None = None,  # steps per grid iteration (None = auto)
 ):
     N, n_u, B = us_cm.shape
     dtype = us_cm.dtype
-
-    kernel = _make_kernel(n_x, n_u, reg_type, full_ddp, N)
-
-    def rev(i):  # reverse-time block index
-        # zeros derived from i stay int32 -- literal 0 under jax_enable_x64
-        # becomes an i64 constant, which Mosaic refuses to return from the
-        # index-map function ("failed to legalize operation 'func.return'").
-        z = i - i
-        return (N - 1 - i, z, z)
-
-    def spec(a):
-        return pl.BlockSpec((1,) + a.shape[1:], rev, memory_space=pltpu.VMEM)
 
     step_inputs = [
         sd_cm.fx, sd_cm.fu, sd_cm.cx, sd_cm.cu, sd_cm.cxx, sd_cm.cuu,
@@ -475,6 +503,31 @@ def pallas_back_pass_cm(
         sd_cm.lower, sd_cm.upper, sd_cm.lower_hx, sd_cm.upper_hx,
         sd_cm.lower_sign, sd_cm.upper_sign, us_cm,
     ]
+    comps = sum(a.shape[1] for a in step_inputs) + n_u + n_u * n_x  # + l, L
+    if time_block is not None:
+        S = time_block
+        if N % S:
+            raise ValueError(f"time_block {S} must divide N={N}")
+    elif interpret:
+        # Interpret mode (CPU tests) pays trace/compile cost linear in the
+        # unroll; keep blocks minimal there (perf is a TPU-only concern).
+        S = 2 if N % 2 == 0 else 1
+    else:
+        S = _pick_time_block(N, comps, B, jnp.dtype(dtype).itemsize)
+    G = N // S
+
+    kernel = _make_kernel(n_x, n_u, reg_type, full_ddp, N, S)
+
+    def rev(i):  # reverse-time BLOCK index (block shape (S, C, B))
+        # zeros derived from i stay int32 -- literal 0 under jax_enable_x64
+        # becomes an i64 constant, which Mosaic refuses to return from the
+        # index-map function ("failed to legalize operation 'func.return'").
+        z = i - i
+        return (G - 1 - i, z, z)
+
+    def spec(a):
+        return pl.BlockSpec((S,) + a.shape[1:], rev, memory_space=pltpu.VMEM)
+
     in_specs = [spec(a) for a in step_inputs]
     fixed_inputs = step_inputs
     whole = lambda a: pl.BlockSpec(a.shape, lambda i: (i - i,) * a.ndim,
@@ -488,11 +541,11 @@ def pallas_back_pass_cm(
         jax.ShapeDtypeStruct((1, B), dtype),  # g_norm
         jax.ShapeDtypeStruct((1, B), dtype),  # failed (0/1)
     ]
-    rev2 = lambda i: (N - 1 - i, i - i, i - i)
+    rev2 = lambda i: (G - 1 - i, i - i, i - i)
     fix2 = lambda i: (i - i, i - i)
     out_specs = [
-        pl.BlockSpec((1, n_u, B), rev2, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, n_u * n_x, B), rev2, memory_space=pltpu.VMEM),
+        pl.BlockSpec((S, n_u, B), rev2, memory_space=pltpu.VMEM),
+        pl.BlockSpec((S, n_u * n_x, B), rev2, memory_space=pltpu.VMEM),
         pl.BlockSpec((2, B), fix2, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, B), fix2, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, B), fix2, memory_space=pltpu.VMEM),
@@ -500,14 +553,13 @@ def pallas_back_pass_cm(
     scratch = [
         pltpu.VMEM((n_x, B), dtype),
         pltpu.VMEM((n_x * n_x, B), dtype),
-        pltpu.VMEM((n_u, B), dtype),
         pltpu.VMEM((2, B), dtype),
         pltpu.VMEM((1, B), dtype),
         pltpu.VMEM((1, B), dtype),
     ]
     l_cm, L_cm, dV, g_norm, failed = pl.pallas_call(
         kernel,
-        grid=(N,),
+        grid=(G,),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
@@ -524,6 +576,7 @@ def batched_back_pass_pallas(
     reg_type: int,
     full_ddp: bool,
     interpret: bool = False,
+    time_block: int | None = None,
 ) -> BackPassResult:
     """Adapter: batch-major bundle -> packed component-major kernel -> result.
 
@@ -565,6 +618,7 @@ def batched_back_pass_pallas(
     l_cm, L_cm, dV, g_norm, failed = pallas_back_pass_cm(
         sd_cm, final_cx, final_cxx, us_cm, lam[None, :], n_x,
         reg_type=reg_type, full_ddp=full_ddp, interpret=interpret,
+        time_block=time_block,
     )
     return BackPassResult(
         l=jnp.transpose(l_cm, (2, 0, 1)),

@@ -76,6 +76,7 @@ def _make_rollout_kernel(
     multi: bool,
     treedef,
     want_cost: bool = False,  # non-multi only: also emit total cost + ok
+    S: int = 1,  # time steps per grid iteration (see pallas_backpass)
 ):
     n_x, n_u = problem.n_x, problem.n_u
     n_hle, n_hli = problem.n_hle, problem.n_hli
@@ -144,72 +145,87 @@ def _make_rollout_kernel(
             x_list = [x_s[a, :] for a in range(n_x)]  # (B,)
             alpha = alpha_ref[0, :]  # (B,)
 
-        xn = [xnom_ref[0, a, :] for a in range(n_x)]  # (B,)
-        dx = [x_list[a] - xn[a] for a in range(n_x)]
-
-        u_list = []
-        for j in range(n_u):
-            du = alpha * l_ref[0, j, :]
-            for a in range(n_x):
-                du = du + L_ref[0, j * n_x + a, :] * dx[a]
-            u_list.append(unom_ref[0, j, :] + du)
-        if any(float(al) == 0.0 for al in alphas):
-            # alpha == 0 selects the reference's exact open-loop branch
-            # (iLQG_func.tem:155-158)
-            zmask = (alpha == 0.0).astype(np_dtype)
-            u_list = [
-                u_list[j] + zmask * (unom_ref[0, j, :] - u_list[j])
-                for j in range(n_u)
-            ]
-
-        x_arr = jnp.stack(x_list)
-        u_arr0 = jnp.stack(u_list)
-        # clampU semantics: sequential per-constraint clamping
-        # (iLQG_func.tem:68-73); the limit is u-independent by the
-        # single-input +-1-coefficient rule (genenerator_main.mac:385-395).
-        for bc, hs in zip(problem.box_constraints, h_safe):
-            hval = hs(x_arr, u_arr0, p, i)
-            lim = -bc.sign * (hval - bc.sign * u_arr0[bc.u_index])
-            cur = u_list[bc.u_index]
-            u_list[bc.u_index] = (
-                jnp.minimum(cur, lim) if bc.sign > 0 else jnp.maximum(cur, lim)
-            )
-        u_arr = jnp.stack(u_list)
-
-        # running cost with AL penalties, vector-shaped (no global sum)
-        c = L_safe(x_arr, u_arr, p, i)
-        for idx, fn in enumerate(hle_safe):
-            hval = fn(x_arr, u_arr, p, i)
-            c = c + _eq_penalty(mu_le_ref[0, idx, :], hval, wpl)
-        for idx, fn in enumerate(hli_safe):
-            hval = fn(x_arr, u_arr, p, i)
-            c = c + _ineq_penalty(mu_li_ref[0, idx, :], hval, wpl)
-
-        x_next = f_safe(x_arr, u_arr, p, i)
-
-        okf = jnp.isfinite(c).astype(np_dtype)
-        for a in range(n_x):
-            okf = okf * jnp.isfinite(x_next[a]).astype(np_dtype)
-
-        if not multi:
-            for a in range(n_x):
-                xs_ref[0, a, :] = x_list[a]
-            for j in range(n_u):
-                us_ref[0, j, :] = u_list[j]
-
-        # accumulate
         if multi:
-            c_s[...] = c_s[...] + c
-            ok_s[...] = ok_s[...] * okf
-            for a in range(n_x):
-                x_s[a * A:(a + 1) * A, :] = x_next[a]
+            c_acc = c_s[...]
+            ok_acc = ok_s[...]
         else:
-            c_s[0, :] = c_s[0, :] + c
-            ok_s[0, :] = ok_s[0, :] * okf
-            for a in range(n_x):
-                x_s[a, :] = x_next[a]
+            c_acc = c_s[0, :]
+            ok_acc = ok_s[0, :]
 
-        @pl.when(i == N - 1)
+        for sj in range(S):
+            k = i * S + sj  # global time step (user fns index params by it)
+            xn = [xnom_ref[sj, a, :] for a in range(n_x)]  # (B,)
+            dx = [x_list[a] - xn[a] for a in range(n_x)]
+
+            u_list = []
+            for j in range(n_u):
+                du = alpha * l_ref[sj, j, :]
+                for a in range(n_x):
+                    du = du + L_ref[sj, j * n_x + a, :] * dx[a]
+                u_list.append(unom_ref[sj, j, :] + du)
+            if any(float(al) == 0.0 for al in alphas):
+                # alpha == 0 selects the reference's exact open-loop branch
+                # (iLQG_func.tem:155-158)
+                zmask = (alpha == 0.0).astype(np_dtype)
+                u_list = [
+                    u_list[j] + zmask * (unom_ref[sj, j, :] - u_list[j])
+                    for j in range(n_u)
+                ]
+
+            x_arr = jnp.stack(x_list)
+            u_arr0 = jnp.stack(u_list)
+            # clampU semantics: sequential per-constraint clamping
+            # (iLQG_func.tem:68-73); the limit is u-independent by the
+            # single-input +-1-coefficient rule
+            # (genenerator_main.mac:385-395).
+            for bc, hs in zip(problem.box_constraints, h_safe):
+                hval = hs(x_arr, u_arr0, p, k)
+                lim = -bc.sign * (hval - bc.sign * u_arr0[bc.u_index])
+                cur = u_list[bc.u_index]
+                u_list[bc.u_index] = (
+                    jnp.minimum(cur, lim) if bc.sign > 0
+                    else jnp.maximum(cur, lim)
+                )
+            u_arr = jnp.stack(u_list)
+
+            # running cost with AL penalties, vector-shaped (no global sum)
+            c = L_safe(x_arr, u_arr, p, k)
+            for idx, fn in enumerate(hle_safe):
+                hval = fn(x_arr, u_arr, p, k)
+                c = c + _eq_penalty(mu_le_ref[sj, idx, :], hval, wpl)
+            for idx, fn in enumerate(hli_safe):
+                hval = fn(x_arr, u_arr, p, k)
+                c = c + _ineq_penalty(mu_li_ref[sj, idx, :], hval, wpl)
+
+            x_next = f_safe(x_arr, u_arr, p, k)
+
+            okf = jnp.isfinite(c).astype(np_dtype)
+            for a in range(n_x):
+                okf = okf * jnp.isfinite(x_next[a]).astype(np_dtype)
+
+            if not multi:
+                for a in range(n_x):
+                    xs_ref[sj, a, :] = x_list[a]
+                for j in range(n_u):
+                    us_ref[sj, j, :] = u_list[j]
+
+            # accumulate (in registers; scratch flushed once per block)
+            c_acc = c_acc + c
+            ok_acc = ok_acc * okf
+            x_list = list(x_next)
+
+        if multi:
+            c_s[...] = c_acc
+            ok_s[...] = ok_acc
+            for a in range(n_x):
+                x_s[a * A:(a + 1) * A, :] = x_list[a]
+        else:
+            c_s[0, :] = c_acc
+            ok_s[0, :] = ok_acc
+            for a in range(n_x):
+                x_s[a, :] = x_list[a]
+
+        @pl.when(i == (N // S) - 1)
         def _fin():
             if multi or want_cost:
                 cf = F_safe(x_next, p, N)
@@ -234,14 +250,14 @@ def _whole_spec(a: Array):
                         memory_space=pltpu.VMEM)
 
 
-def _step_spec(a: Array):
+def _step_spec(a: Array, S: int = 1):
     nd = a.ndim
 
     def idx(i):
         z = i - i
         return (i,) + (z,) * (nd - 1)
 
-    return pl.BlockSpec((1,) + a.shape[1:], idx, memory_space=pltpu.VMEM)
+    return pl.BlockSpec((S,) + a.shape[1:], idx, memory_space=pltpu.VMEM)
 
 
 def rollout_call(
@@ -253,6 +269,7 @@ def rollout_call(
     multi: bool,
     interpret: bool = False,
     want_cost: bool = False,
+    time_block: int | None = None,
 ):
     """Invoke one rollout kernel (multi-alpha cost sweep or selected rollout).
 
@@ -267,16 +284,33 @@ def rollout_call(
     leaf_shapes = tuple(tuple(jnp.shape(x)) for x in leaves)
     norm_leaves = [_normalize_leaf(x).astype(dtype) for x in leaves]
 
-    kernel = _make_rollout_kernel(
-        problem, N, alphas, leaf_shapes, np_dtype, multi, treedef,
-        want_cost=want_cost,
-    )
-
     step_inputs = [xnom_cm, unom_cm, l_cm, L_cm]
     if problem.n_hle:
         step_inputs.append(mu_le_cm)
     if problem.n_hli:
         step_inputs.append(mu_li_cm)
+
+    # Time-block the grid (see pallas_backpass._pick_time_block): the
+    # per-step rollout math is far below the fixed per-grid-step cost, so
+    # S=1 runs at ~4 us/step regardless of work (measured: the 8-alpha
+    # sweep and a single rollout both took ~2.0 ms at N=500).
+    from .pallas_backpass import _pick_time_block
+
+    if time_block is not None:
+        S = time_block
+        if N % S:
+            raise ValueError(f"time_block {S} must divide N={N}")
+    elif interpret:
+        S = 2 if N % 2 == 0 else 1
+    else:
+        comps = sum(a.shape[1] for a in step_inputs)
+        comps += (n_x + n_u) if not multi else 0
+        S = _pick_time_block(N, comps, B, jnp.dtype(dtype).itemsize)
+
+    kernel = _make_rollout_kernel(
+        problem, N, alphas, leaf_shapes, np_dtype, multi, treedef,
+        want_cost=want_cost, S=S,
+    )
     fixed_inputs = [x0_cm, w_pen_l, w_pen_f]
     if problem.n_hfe:
         fixed_inputs.append(mu_fe_cm)
@@ -286,7 +320,7 @@ def rollout_call(
         fixed_inputs.append(alpha_vec)
     fixed_inputs += norm_leaves
 
-    in_specs = [_step_spec(a) for a in step_inputs]
+    in_specs = [_step_spec(a, S) for a in step_inputs]
     in_specs += [_whole_spec(a) for a in fixed_inputs]
 
     if multi:
@@ -305,7 +339,7 @@ def rollout_call(
             pltpu.VMEM((A, B), dtype),
         ]
     else:
-        rev2 = lambda i: (i, i - i, i - i)
+        fwd2 = lambda i: (i, i - i, i - i)
         fix2 = lambda i: (i - i, i - i)
         out_shape = [
             jax.ShapeDtypeStruct((N, n_x, B), dtype),  # xs steps
@@ -313,9 +347,9 @@ def rollout_call(
             jax.ShapeDtypeStruct((N, n_u, B), dtype),  # us
         ]
         out_specs = [
-            pl.BlockSpec((1, n_x, B), rev2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, n_x, B), fwd2, memory_space=pltpu.VMEM),
             pl.BlockSpec((n_x, B), fix2, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_u, B), rev2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, n_u, B), fwd2, memory_space=pltpu.VMEM),
         ]
         if want_cost:
             out_shape += [
@@ -334,7 +368,7 @@ def rollout_call(
 
     return pl.pallas_call(
         kernel,
-        grid=(N,),
+        grid=(N // S,),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
@@ -386,12 +420,13 @@ class _LSCtx:
         self.cost = cost
 
     def call(self, problem, alphas, params, alpha_vec, multi, interpret,
-             want_cost=False):
+             want_cost=False, time_block=None):
         return rollout_call(
             problem, alphas, self.xnom_cm, self.unom_cm, self.l_cm,
             self.L_cm, self.mu_le_cm, self.mu_li_cm, self.x0_cm, self.wpl,
             self.wpf, self.mu_fe_cm, self.mu_fi_cm, alpha_vec, params,
             multi=multi, interpret=interpret, want_cost=want_cost,
+            time_block=time_block,
         )
 
 
@@ -436,6 +471,7 @@ def pallas_line_search(
     w_pen_l: Array,  # (B,)
     w_pen_f: Array,
     interpret: bool = False,
+    time_block: int | None = None,
 ) -> LineSearchResult:
     """Batched line search via the two fused rollout kernels.
 
@@ -447,7 +483,8 @@ def pallas_line_search(
     B, Bp = ctx.B, ctx.Bp
 
     costs, okf = ctx.call(problem, alphas, params, None, multi=True,
-                          interpret=interpret)  # (A, Bp) each
+                          interpret=interpret,
+                          time_block=time_block)  # (A, Bp) each
     idx, any_ok, dcost, expected, z, al = _select_first_accept(
         alphas, costs, okf, ctx, z_min
     )
@@ -456,7 +493,7 @@ def pallas_line_search(
 
     xs_cm, xf_cm, us_cm = ctx.call(
         problem, alphas, params, alpha_vec[None, :], multi=False,
-        interpret=interpret,
+        interpret=interpret, time_block=time_block,
     )
     xs_out, us_out = _traj_out(xs_cm, xf_cm, us_cm)
 

@@ -107,6 +107,40 @@ def test_pallas_matches_scan(constrained, reg_type, full_ddp):
     np.testing.assert_allclose(out.g_norm, ref.g_norm, rtol=tol, atol=tol)
 
 
+def test_time_blocked_kernel_matches_unblocked():
+    """Grid time-blocking (S steps per grid iteration, amortizing the
+    ~4us/grid-step fixed cost on TPU) must be bit-compatible with the
+    unblocked kernel, including failure-lane freezing across a block
+    boundary."""
+    rng = np.random.default_rng(11)
+    B, N, n_x, n_u = 4, 8, 4, 2
+    derivs, us = _rand_bundle(rng, B, N, n_x, n_u, True, True)
+    # lane 2 fails at step 5 (inside the second S=4 block)
+    cuu = np.array(derivs.step.cuu)
+    cuu[2, 5] = np.array([[-5.0, 0.0], [0.0, -5.0]])
+    derivs = derivs._replace(step=derivs.step._replace(cuu=jnp.asarray(cuu)))
+    lam = jnp.full((B,), 1e-6, us.dtype)
+
+    ref = batched_back_pass_pallas(
+        derivs, us, lam, 1, True, interpret=INTERPRET, time_block=1
+    )
+    for S in (2, 4, 8):
+        out = batched_back_pass_pallas(
+            derivs, us, lam, 1, True, interpret=INTERPRET, time_block=S
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out.failed), np.asarray(ref.failed)
+        )
+        assert bool(out.failed[2])
+        # XLA codegen at different unroll widths differs by ~1 ulp on CPU
+        # (fma contraction); the math itself is identical.
+        tol = dict(rtol=1e-13, atol=1e-14)
+        np.testing.assert_allclose(out.l, ref.l, **tol)
+        np.testing.assert_allclose(out.L, ref.L, **tol)
+        np.testing.assert_allclose(out.dV, ref.dV, **tol)
+        np.testing.assert_allclose(out.g_norm, ref.g_norm, **tol)
+
+
 def test_pallas_failure_lane_matches_scan():
     """An indefinite Quu must fail in both implementations, and surviving
     lanes must be unaffected."""

@@ -119,6 +119,35 @@ def test_pallas_line_search_matches_xla(model):
                                atol=1e-5)
 
 
+def test_time_blocked_rollout_matches_unblocked():
+    """Grid time-blocking of the rollout kernels (S steps per grid
+    iteration) is semantics-preserving: selection and trajectories match
+    the unblocked kernel to fma-reassociation noise."""
+    problem = car_parking.car_parking()
+    p, x0, _ = car_parking.default_setup(T=30)
+    B, T = 4, 30
+    p = jax.tree_util.tree_map(lambda a: jnp.asarray(a, jnp.float64), p)
+    args = _ls_inputs(problem, p, x0, T, B)
+    alphas = tuple(ddp.DEFAULT_ALPHA)
+
+    ref = pallas_line_search(problem, alphas, *args[:7], 0.0, p, *args[7:],
+                             interpret=True, time_block=1)
+    for S in (5, 10):
+        got = pallas_line_search(problem, alphas, *args[:7], 0.0, p,
+                                 *args[7:], interpret=True, time_block=S)
+        np.testing.assert_array_equal(np.asarray(ref.success),
+                                      np.asarray(got.success))
+        np.testing.assert_array_equal(np.asarray(ref.alpha_index),
+                                      np.asarray(got.alpha_index))
+        tol = dict(rtol=1e-12, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(ref.new_cost),
+                                   np.asarray(got.new_cost), **tol)
+        np.testing.assert_allclose(np.asarray(ref.xs), np.asarray(got.xs),
+                                   **tol)
+        np.testing.assert_allclose(np.asarray(ref.us), np.asarray(got.us),
+                                   **tol)
+
+
 def test_pallas_line_search_pads_odd_batch():
     problem = car_parking.car_parking()
     p, x0, _ = car_parking.default_setup(T=20)
