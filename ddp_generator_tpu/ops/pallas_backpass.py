@@ -326,8 +326,10 @@ def _make_kernel(n_x: int, n_u: int, reg_type: int, full_ddp: bool, N: int,
     NX, NU = n_x, n_u
 
     def kernel(
-        # inputs (per-block refs, shape (S, C, B)); FULL_DDP tensor refs
-        # present only when full_ddp:
+        # step inputs (per-block refs, shape (C, S, BT), component-OUTER:
+        # the emission stacks per-component (N, B) arrays on a new leading
+        # axis, the one concatenation XLA lowers copy-free); FULL_DDP
+        # tensor refs present only when full_ddp:
         *refs,
     ):
         it = iter(refs)
@@ -347,7 +349,9 @@ def _make_kernel(n_x: int, n_u: int, reg_type: int, full_ddp: bool, N: int,
             next(it), next(it), next(it), next(it), next(it)
         )
 
-        i = pl.program_id(0)
+        # grid = (batch_tiles, time_blocks); time is innermost so the VMEM
+        # value-function carry is re-initialized once per batch tile.
+        i = pl.program_id(1)
         is_first = i == 0
         is_last = i == (N // S) - 1
 
@@ -380,42 +384,42 @@ def _make_kernel(n_x: int, n_u: int, reg_type: int, full_ddp: bool, N: int,
         # Reverse time inside the block: in-block row j is time step
         # block_start + j, so the recursion visits j = S-1 .. 0.
         for j in range(S - 1, -1, -1):
-            fx = [[fx_ref[j, XX(a, b), :] for b in range(NX)]
+            fx = [[fx_ref[XX(a, b), j, :] for b in range(NX)]
                   for a in range(NX)]
-            fu = [[fu_ref[j, XU(a, b), :] for b in range(NU)]
+            fu = [[fu_ref[XU(a, b), j, :] for b in range(NU)]
                   for a in range(NX)]
-            cx = [cx_ref[j, a, :] for a in range(NX)]
-            cu = [cu_ref[j, a, :] for a in range(NU)]
-            cxx = [[cxx_ref[j, TX(a, b), :] for b in range(NX)]
+            cx = [cx_ref[a, j, :] for a in range(NX)]
+            cu = [cu_ref[a, j, :] for a in range(NU)]
+            cxx = [[cxx_ref[TX(a, b), j, :] for b in range(NX)]
                    for a in range(NX)]
-            cuu = [[cuu_ref[j, TU(a, b), :] for b in range(NU)]
+            cuu = [[cuu_ref[TU(a, b), j, :] for b in range(NU)]
                    for a in range(NU)]
-            cxu = [[cxu_ref[j, XU(a, b), :] for b in range(NU)]
+            cxu = [[cxu_ref[XU(a, b), j, :] for b in range(NU)]
                    for a in range(NX)]
             if full_ddp:
                 # (i, packed(a, b)) indices on the C axis; the last two axes
                 # of fxx/fuu are symmetric (mixed-partial symmetry)
-                fxx = [[[fxx_ref[j, i_ * TXS + TX(a, b), :]
+                fxx = [[[fxx_ref[i_ * TXS + TX(a, b), j, :]
                          for b in range(NX)]
                         for a in range(NX)] for i_ in range(NX)]
-                fuu = [[[fuu_ref[j, i_ * TUS + TU(a, b), :]
+                fuu = [[[fuu_ref[i_ * TUS + TU(a, b), j, :]
                          for b in range(NU)]
                         for a in range(NU)] for i_ in range(NX)]
-                fxu = [[[fxu_ref[j, (i_ * NX + a) * NU + b, :]
+                fxu = [[[fxu_ref[(i_ * NX + a) * NU + b, j, :]
                          for b in range(NU)]
                         for a in range(NX)] for i_ in range(NX)]
             else:
                 fxx = fuu = fxu = None
-            lower = [lower_ref[j, a, :] for a in range(NU)]
-            upper = [upper_ref[j, a, :] for a in range(NU)]
+            lower = [lower_ref[a, j, :] for a in range(NU)]
+            upper = [upper_ref[a, j, :] for a in range(NU)]
             # lower_hx/upper_hx are (n_u, n_x) row-major on the comp axis.
-            lo_hx = [[lo_hx_ref[j, a * NX + b, :] for b in range(NX)]
+            lo_hx = [[lo_hx_ref[a * NX + b, j, :] for b in range(NX)]
                      for a in range(NU)]
-            up_hx = [[up_hx_ref[j, a * NX + b, :] for b in range(NX)]
+            up_hx = [[up_hx_ref[a * NX + b, j, :] for b in range(NX)]
                      for a in range(NU)]
-            lo_s = [lo_s_ref[j, a, :] for a in range(NU)]
-            up_s = [up_s_ref[j, a, :] for a in range(NU)]
-            u_k = [u_ref[j, a, :] for a in range(NU)]
+            lo_s = [lo_s_ref[a, j, :] for a in range(NU)]
+            up_s = [up_s_ref[a, j, :] for a in range(NU)]
+            u_k = [u_ref[a, j, :] for a in range(NU)]
 
             (l_k, L_k, dv0, dv1, Vx_new, Vxx_new, g_k,
              step_failed_f) = riccati_step(
@@ -473,16 +477,46 @@ def _pick_time_block(N: int, comps_per_step: int, B: int, itemsize: int,
     return best
 
 
+def _pick_blocks(N: int, B: int, comps: int, itemsize: int,
+                 vmem_budget: int = 11 * 2 ** 20):
+    """Choose (S time steps, BT batch tile) minimizing grid steps under the
+    VMEM budget.  Blocks are (C, S, BT): the minor-two dims (S, BT) are
+    hardware-tiled (8, 128), so VMEM cost rounds S up to 8 sublanes."""
+    best = None
+    bts = [B]
+    while bts[-1] % 2 == 0 and bts[-1] > 128:
+        bts.append(bts[-1] // 2)
+    for s in range(1, min(N, 16) + 1):
+        if N % s:
+            continue
+        s_pad = -(-s // 8) * 8 if B >= 128 else s  # sublane padding
+        for bt in bts:
+            vmem = comps * s_pad * bt * itemsize * 2  # x2 double buffering
+            if vmem <= vmem_budget:
+                steps = (N // s) * (B // bt)
+                cand = (steps, -s, B // bt)  # prefer fewer steps, larger S
+                if best is None or cand < best[0]:
+                    best = (cand, s, bt)
+                break
+    if best is None:
+        return 1, min(B, 128) if B >= 128 else B
+    return best[1], best[2]
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("n_x", "reg_type", "full_ddp", "interpret", "time_block"),
 )
 def pallas_back_pass_cm(
-    sd_cm,  # StepDerivs pytree, COMPONENT-MAJOR (N, C, B); cxx/cuu and the
-    #         last two axes of fxx/fuu PACKED (upper triangle, row-major)
+    sd_cm,  # StepDerivs pytree, COMPONENT-OUTER (C, N, B); cxx/cuu and the
+    #         last two axes of fxx/fuu PACKED (upper triangle, row-major).
+    #         The leading component axis is an OUTERMOST-axis stack of
+    #         per-component (N, B) arrays -- the one concatenation XLA
+    #         lowers copy-free (a middle-axis stack double-materializes the
+    #         whole ~0.65 GB bundle through windowed DUS fusions + copies).
     final_cx,  # (n_x, B)
     final_cxx,  # (n_x*n_x, B)
-    us_cm,  # (N, n_u, B)
+    us_cm,  # (n_u, N, B)
     lam,  # (1, B)
     n_x: int,
     reg_type: int,
@@ -490,7 +524,7 @@ def pallas_back_pass_cm(
     interpret: bool = False,
     time_block: int | None = None,  # steps per grid iteration (None = auto)
 ):
-    N, n_u, B = us_cm.shape
+    n_u, N, B = us_cm.shape
     dtype = us_cm.dtype
 
     step_inputs = [
@@ -503,36 +537,40 @@ def pallas_back_pass_cm(
         sd_cm.lower, sd_cm.upper, sd_cm.lower_hx, sd_cm.upper_hx,
         sd_cm.lower_sign, sd_cm.upper_sign, us_cm,
     ]
-    comps = sum(a.shape[1] for a in step_inputs) + n_u + n_u * n_x  # + l, L
-    if time_block is not None:
-        S = time_block
-        if N % S:
-            raise ValueError(f"time_block {S} must divide N={N}")
-    elif interpret:
+    comps = sum(a.shape[0] for a in step_inputs) + n_u + n_u * n_x  # + l, L
+    if interpret and time_block is None:
         # Interpret mode (CPU tests) pays trace/compile cost linear in the
         # unroll; keep blocks minimal there (perf is a TPU-only concern).
-        S = 2 if N % 2 == 0 else 1
+        S, BT = (2 if N % 2 == 0 else 1), B
     else:
-        S = _pick_time_block(N, comps, B, jnp.dtype(dtype).itemsize)
+        S, BT = _pick_blocks(N, B, comps, jnp.dtype(dtype).itemsize)
+        if time_block is not None:
+            S = time_block
+            if N % S:
+                raise ValueError(f"time_block {S} must divide N={N}")
     G = N // S
+    NBT = B // BT
 
     kernel = _make_kernel(n_x, n_u, reg_type, full_ddp, N, S)
 
-    def rev(i):  # reverse-time BLOCK index (block shape (S, C, B))
-        # zeros derived from i stay int32 -- literal 0 under jax_enable_x64
-        # becomes an i64 constant, which Mosaic refuses to return from the
-        # index-map function ("failed to legalize operation 'func.return'").
-        z = i - i
-        return (G - 1 - i, z, z)
+    # Index maps take (bt, g); zeros derived from the args stay int32 --
+    # a literal 0 under jax_enable_x64 becomes an i64 constant, which
+    # Mosaic refuses to return from the index-map function.
+    def rev(bt, g):  # (C, S, BT) block of a (C, N, B) array
+        z = bt - bt
+        return (z, G - 1 - g, bt)
 
     def spec(a):
-        return pl.BlockSpec((S,) + a.shape[1:], rev, memory_space=pltpu.VMEM)
+        return pl.BlockSpec((a.shape[0], S, BT), rev,
+                            memory_space=pltpu.VMEM)
 
     in_specs = [spec(a) for a in step_inputs]
     fixed_inputs = step_inputs
-    whole = lambda a: pl.BlockSpec(a.shape, lambda i: (i - i,) * a.ndim,
-                                   memory_space=pltpu.VMEM)
-    in_specs += [whole(lam), whole(final_cx), whole(final_cxx)]
+    per_bt = lambda a: pl.BlockSpec(
+        (a.shape[0], BT), lambda bt, g: (bt - bt, bt),
+        memory_space=pltpu.VMEM,
+    )
+    in_specs += [per_bt(lam), per_bt(final_cx), per_bt(final_cxx)]
 
     out_shape = [
         jax.ShapeDtypeStruct((N, n_u, B), dtype),  # l
@@ -541,25 +579,25 @@ def pallas_back_pass_cm(
         jax.ShapeDtypeStruct((1, B), dtype),  # g_norm
         jax.ShapeDtypeStruct((1, B), dtype),  # failed (0/1)
     ]
-    rev2 = lambda i: (G - 1 - i, i - i, i - i)
-    fix2 = lambda i: (i - i, i - i)
+    rev2 = lambda bt, g: (G - 1 - g, bt - bt, bt)
+    fix2 = lambda bt, g: (bt - bt, bt)
     out_specs = [
-        pl.BlockSpec((S, n_u, B), rev2, memory_space=pltpu.VMEM),
-        pl.BlockSpec((S, n_u * n_x, B), rev2, memory_space=pltpu.VMEM),
-        pl.BlockSpec((2, B), fix2, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, B), fix2, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, B), fix2, memory_space=pltpu.VMEM),
+        pl.BlockSpec((S, n_u, BT), rev2, memory_space=pltpu.VMEM),
+        pl.BlockSpec((S, n_u * n_x, BT), rev2, memory_space=pltpu.VMEM),
+        pl.BlockSpec((2, BT), fix2, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, BT), fix2, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, BT), fix2, memory_space=pltpu.VMEM),
     ]
     scratch = [
-        pltpu.VMEM((n_x, B), dtype),
-        pltpu.VMEM((n_x * n_x, B), dtype),
-        pltpu.VMEM((2, B), dtype),
-        pltpu.VMEM((1, B), dtype),
-        pltpu.VMEM((1, B), dtype),
+        pltpu.VMEM((n_x, BT), dtype),
+        pltpu.VMEM((n_x * n_x, BT), dtype),
+        pltpu.VMEM((2, BT), dtype),
+        pltpu.VMEM((1, BT), dtype),
+        pltpu.VMEM((1, BT), dtype),
     ]
     l_cm, L_cm, dV, g_norm, failed = pl.pallas_call(
         kernel,
-        grid=(G,),
+        grid=(NBT, G),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
@@ -587,15 +625,15 @@ def batched_back_pass_pallas(
     B, N, n_u = us.shape
     n_x = derivs.final.cx.shape[-1]
 
-    def to_cm(a):  # (B, N, d...) -> (N, prod(d), B)
+    def to_cm(a):  # (B, N, d...) -> (prod(d), N, B) component-outer
         if not a.size:
-            return a
+            return a.reshape(-1, N, B)
         flat = a.reshape(B, N, -1)
-        return jnp.transpose(flat, (1, 2, 0))
+        return jnp.transpose(flat, (2, 1, 0))
 
     def to_cm_sym(a, n):  # (B, N, ..., n, n) sym in last 2 -> packed CM
         if not a.size:
-            return a
+            return a.reshape(-1, N, B)
         ia = [i for i in range(n) for _ in range(i, n)]
         ib = [j for i in range(n) for j in range(i, n)]
         sel = a[..., ia, ib]  # (B, N, ..., tri)

@@ -288,6 +288,7 @@ def _make_fused_kernel(
     reg_type: int,
     full_ddp: bool,
     treedef,
+    S: int = 1,  # time steps per grid iteration (see pallas_backpass)
 ):
     n_x, n_u = problem.n_x, problem.n_u
     n_hle, n_hli = problem.n_hle, problem.n_hli
@@ -310,7 +311,7 @@ def _make_fused_kernel(
         vx_s, vxx_s, dv_s, g_s, fail_s, dok_s = (next(it) for _ in range(6))
 
         i = pl.program_id(0)
-        k = N - 1 - i  # actual time index (reverse sweep)
+        G = N // S
         lam = lam_ref[0, :]
         wpl = wpl_ref[0, :]
         wpf = wpf_ref[0, :]
@@ -340,53 +341,67 @@ def _make_fused_kernel(
             fail_s[...] = jnp.zeros_like(fail_s)
             dok_s[0, :] = okf
 
-        # ---- per-step derivatives (bp_derivsL + limitsU roles) ----
-        x_arr = x_ref[0]  # (n_x, B)
-        u_arr = u_ref[0]  # (n_u, B)
-        mu_le_rows = [mu_le_ref[0, idx, :] for idx in range(n_hle)]
-        mu_li_rows = [mu_li_ref[0, idx, :] for idx in range(n_hli)]
-
-        (fx, fu, cx, cu, cxx, cuu, cxu, fxx, fuu, fxu,
-         lower, upper, lo_hx, up_hx, lo_s, up_s, dok_step) = (
-            step_derivative_components(
-                problem, safes, x_arr, u_arr, p, k, mu_le_rows, mu_li_rows,
-                wpl, full_ddp, np_dtype,
-            )
-        )
-        dok_s[0, :] = dok_s[0, :] * dok_step
-
+        # In-register carries across the unrolled in-block steps; flushed
+        # to VMEM scratch once per grid iteration (see pallas_backpass).
         Vx = [vx_s[a, :] for a in range(NX)]
         Vxx = [[vxx_s[XX(a, b), :] for b in range(NX)] for a in range(NX)]
-        u_k = [u_arr[a] for a in range(NU)]
+        dv_acc = [dv_s[0, :], dv_s[1, :]]
+        g_acc = g_s[0, :]
+        fail_acc = fail_s[0, :]
+        dok_acc = dok_s[0, :]
 
-        l_k, L_k, dv0, dv1, Vx_new, Vxx_new, g_k, step_failed_f = riccati_step(
-            NX, NU, reg_type, full_ddp,
-            fx, fu, cx, cu, cxx, cuu, cxu, fxx, fuu, fxu,
-            lower, upper, lo_hx, up_hx, lo_s, up_s, u_k, lam,
-            Vx, Vxx,
-        )
+        for j in range(S - 1, -1, -1):
+            # ---- per-step derivatives (bp_derivsL + limitsU roles) ----
+            k = (G - 1 - i) * S + j  # actual time index (reverse sweep)
+            x_arr = x_ref[j]  # (n_x, B)
+            u_arr = u_ref[j]  # (n_u, B)
+            mu_le_rows = [mu_le_ref[j, idx, :] for idx in range(n_hle)]
+            mu_li_rows = [mu_li_ref[j, idx, :] for idx in range(n_hli)]
 
-        # live = 1 while no step has failed yet (freeze after failure)
-        fail_now = jnp.minimum(fail_s[0, :] + step_failed_f, 1.0)
-        live = 1.0 - fail_now
+            (fx, fu, cx, cu, cxx, cuu, cxu, fxx, fuu, fxu,
+             lower, upper, lo_hx, up_hx, lo_s, up_s, dok_step) = (
+                step_derivative_components(
+                    problem, safes, x_arr, u_arr, p, k, mu_le_rows,
+                    mu_li_rows, wpl, full_ddp, np_dtype,
+                )
+            )
+            dok_acc = dok_acc * dok_step
+            u_k = [u_arr[a] for a in range(NU)]
 
-        for a in range(NU):
-            l_ref[0, a, :] = live * l_k[a]
-            for b in range(NX):
-                L_ref[0, a * NX + b, :] = live * L_k[a][b]
+            (l_k, L_k, dv0, dv1, Vx_new, Vxx_new, g_k,
+             step_failed_f) = riccati_step(
+                NX, NU, reg_type, full_ddp,
+                fx, fu, cx, cu, cxx, cuu, cxu, fxx, fuu, fxu,
+                lower, upper, lo_hx, up_hx, lo_s, up_s, u_k, lam,
+                Vx, Vxx,
+            )
+
+            # live = 1 while no step has failed yet (freeze after failure)
+            fail_acc = jnp.minimum(fail_acc + step_failed_f, 1.0)
+            live = 1.0 - fail_acc
+
+            for a in range(NU):
+                l_ref[j, a, :] = live * l_k[a]
+                for b in range(NX):
+                    L_ref[j, a * NX + b, :] = live * L_k[a][b]
+
+            Vx = [Vx[a] + live * (Vx_new[a] - Vx[a]) for a in range(NX)]
+            Vxx = [[Vxx[a][b] + live * (Vxx_new[a][b] - Vxx[a][b])
+                    for b in range(NX)] for a in range(NX)]
+            dv_acc = [dv_acc[0] + live * dv0, dv_acc[1] + live * dv1]
+            g_acc = g_acc + live * g_k
 
         for a in range(NX):
-            vx_s[a, :] = vx_s[a, :] + live * (Vx_new[a] - vx_s[a, :])
+            vx_s[a, :] = Vx[a]
             for b in range(NX):
-                vxx_s[XX(a, b), :] = vxx_s[XX(a, b), :] + live * (
-                    Vxx_new[a][b] - vxx_s[XX(a, b), :]
-                )
-        dv_s[0, :] = dv_s[0, :] + live * dv0
-        dv_s[1, :] = dv_s[1, :] + live * dv1
-        g_s[0, :] = g_s[0, :] + live * g_k
-        fail_s[0, :] = fail_now
+                vxx_s[XX(a, b), :] = Vxx[a][b]
+        dv_s[0, :] = dv_acc[0]
+        dv_s[1, :] = dv_acc[1]
+        g_s[0, :] = g_acc
+        fail_s[0, :] = fail_acc
+        dok_s[0, :] = dok_acc
 
-        @pl.when(i == N - 1)
+        @pl.when(i == (N // S) - 1)
         def _fin():
             dv_ref[...] = dv_s[...]
             gnorm_ref[0, :] = g_s[0, :] / float(N - 1)
@@ -411,6 +426,7 @@ def fused_derivs_back_pass(
     reg_type: int,
     full_ddp: bool,
     interpret: bool = False,
+    time_block: int | None = None,
 ):
     """Batched fused pass.  Returns ``(BackPassResult, derivs_ok (B,) bool)``."""
     B, Np1, n_x = xs.shape
@@ -443,8 +459,29 @@ def fused_derivs_back_pass(
     leaf_shapes = tuple(tuple(jnp.shape(x)) for x in leaves)
     norm_leaves = [_normalize_leaf(x).astype(dtype) for x in leaves]
 
+    # Time-block the grid (see pallas_backpass).  The fused kernel's traced
+    # body is large (in-kernel AD); cap the unroll below the generic VMEM
+    # bound to keep Mosaic compile size in check.
+    if time_block is not None:
+        S = time_block
+        if N % S:
+            raise ValueError(f"time_block {S} must divide N={N}")
+    elif interpret:
+        S = 2 if N % 2 == 0 else 1
+    else:
+        from .pallas_backpass import _pick_time_block
+
+        comps = n_x + n_u + problem.n_hle + problem.n_hli + n_u + n_u * n_x
+        # Cap 4: the unrolled in-kernel AD temporaries live in scoped VMEM
+        # alongside the DMA blocks; S=8 blew the 16M scoped limit by 1.2M
+        # at B=2048 (v5e).
+        S = min(_pick_time_block(N, comps, Bp, jnp.dtype(dtype).itemsize), 4)
+        while N % S:
+            S -= 1
+    G = N // S
+
     kernel = _make_fused_kernel(
-        problem, N, leaf_shapes, np_dtype, reg_type, full_ddp, treedef
+        problem, N, leaf_shapes, np_dtype, reg_type, full_ddp, treedef, S=S
     )
 
     def rev_spec(a):
@@ -452,9 +489,9 @@ def fused_derivs_back_pass(
 
         def idx(i):
             z = i - i
-            return (N - 1 - i,) + (z,) * (nd - 1)
+            return (G - 1 - i,) + (z,) * (nd - 1)
 
-        return pl.BlockSpec((1,) + a.shape[1:], idx, memory_space=pltpu.VMEM)
+        return pl.BlockSpec((S,) + a.shape[1:], idx, memory_space=pltpu.VMEM)
 
     def whole(a):
         nd = a.ndim
@@ -476,7 +513,7 @@ def fused_derivs_back_pass(
     in_specs = [rev_spec(a) for a in step_inputs]
     in_specs += [whole(a) for a in fixed_inputs]
 
-    rev2 = lambda i: (N - 1 - i, i - i, i - i)
+    rev2 = lambda i: (G - 1 - i, i - i, i - i)
     fix2 = lambda i: (i - i, i - i)
     out_shape = [
         jax.ShapeDtypeStruct((N, n_u, Bp), dtype),  # l
@@ -487,8 +524,8 @@ def fused_derivs_back_pass(
         jax.ShapeDtypeStruct((1, Bp), dtype),  # derivs ok (0/1)
     ]
     out_specs = [
-        pl.BlockSpec((1, n_u, Bp), rev2, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, n_u * n_x, Bp), rev2, memory_space=pltpu.VMEM),
+        pl.BlockSpec((S, n_u, Bp), rev2, memory_space=pltpu.VMEM),
+        pl.BlockSpec((S, n_u * n_x, Bp), rev2, memory_space=pltpu.VMEM),
         pl.BlockSpec((2, Bp), fix2, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, Bp), fix2, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, Bp), fix2, memory_space=pltpu.VMEM),
@@ -504,7 +541,7 @@ def fused_derivs_back_pass(
     ]
     l_cm, L_cm, dV, g_norm, failed, dok = pl.pallas_call(
         kernel,
-        grid=(N,),
+        grid=(G,),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,

@@ -770,6 +770,7 @@ class StepwiseSolver:
         min_compact_batch: int = 128,
         mesh=None,
         mesh_axis: str = "batch",
+        pipeline_depth: int = 3,
     ):
         """``mesh``: optional 1-D ``jax.sharding.Mesh``.  When given, the
         batch axis of every heavy program (init / chunk-of-iterations /
@@ -787,6 +788,7 @@ class StepwiseSolver:
         self.min_compact_batch = min_compact_batch
         self.batch_params = batch_params
         self.mesh = mesh
+        self.pipeline_depth = max(1, pipeline_depth)
         o = options
         init_fn, body_fn, finalize_fn = _make_parts(problem, options)
 
@@ -981,20 +983,27 @@ class StepwiseSolver:
         n_lam_steps = 2 + int(_np.ceil(
             _np.log(max(o.lambdaMax / lam_lo, 2.0)) / _np.log(o.lambdaFactor)
         ))
-        # +2: the pipelined active check lags one chunk behind (see below).
-        n_calls = max(1, -(-o.max_iter * (1 + n_lam_steps) // self.chunk)) + 2
-        # The active-count check is PIPELINED one chunk behind: jax dispatch
-        # is async, so the next chunk is enqueued before the previous chunk's
-        # count is fetched -- the host<->device round trip (tens of ms per
-        # sync on relayed TPU backends, which dominated wall time once the
-        # iteration body dropped to a few ms) overlaps device work.  Costs at
-        # most one extra (empty: the vmapped while cond exits immediately)
-        # chunk call after all lanes finish, and delays compaction decisions
-        # by one chunk (the count only shrinks, so acting on a stale count is
-        # merely conservative).  debug_level >= 1 keeps the synchronous path:
-        # observability mode prints true per-chunk state.
+        # +1+depth: the pipelined active check lags `pipeline_depth` chunks
+        # behind (see below).
+        depth = self.pipeline_depth
+        n_calls = (max(1, -(-o.max_iter * (1 + n_lam_steps) // self.chunk))
+                   + 1 + depth)
+        # The active-count check is PIPELINED `depth` chunks behind: jax
+        # dispatch is async, so several chunks are enqueued before the
+        # oldest count is fetched -- each host<->device round trip (tens of
+        # ms of pure latency on relayed TPU backends, which dominated wall
+        # time once the iteration body dropped to a few ms) overlaps
+        # `depth` chunks of device work instead of one.  Costs at most
+        # `depth` extra (empty: the vmapped while cond exits immediately)
+        # chunk calls after all lanes finish, and delays compaction
+        # decisions by `depth` chunks (the count only shrinks, so acting on
+        # a stale count is merely conservative).  debug_level >= 1 keeps
+        # the synchronous path: observability mode prints true per-chunk
+        # state.
         exhausted = True
-        pending = None  # device scalar: active count AFTER the previous chunk
+        from collections import deque
+
+        pending = deque()  # device scalars: active counts of past chunks
         for chunk_i in range(n_calls):
             small = self._chunk(small, cur_params)
             act_dev = self._active(small)
@@ -1012,11 +1021,10 @@ class StepwiseSolver:
                     file=_sys.stderr, flush=True,
                 )
             else:
-                if pending is None:
-                    pending = act_dev
+                pending.append(act_dev)
+                if len(pending) <= depth:
                     continue
-                active = int(pending)
-                pending = act_dev
+                active = int(pending.popleft())
             if active == 0:
                 exhausted = False
                 break

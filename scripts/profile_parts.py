@@ -180,8 +180,25 @@ if __name__ == "__main__":
             problem, carry.xs + 1e-30 * acc[:, None, None], carry.us, p,
             mult.mu_le, mult.mu_li, mult.mu_fe, mult.mu_fi,
             wl_v, wf_v, o.full_ddp)
-        return acc + fcx[0] * 1e-30
-    timeK("calc_derivs_cm (packed)", loopK(step_cmd))
+        # Consume EVERY bundle array: reading only fcx lets XLA dead-code
+        # the whole emission (measured "0.12 ms" for a 0.65 GB write).  The
+        # checksum costs one extra read of the bundle (~bw floor) on top.
+        tot = fcx[0] + jnp.sum(fcxx, axis=0)
+        for a in sd.values():
+            tot = tot + jnp.sum(a.reshape(-1, a.shape[-1]), axis=0)
+        return acc + tot * 1e-30
+    timeK("calc_derivs_cm+checksum", loopK(step_cmd))
+
+    # ---- fused kernel: derivs computed in-VMEM, zero bundle HBM traffic --
+    from ddp_generator_tpu.ops.pallas_fused import fused_derivs_back_pass
+
+    def step_fused(i, acc):
+        bp, ok = fused_derivs_back_pass(
+            problem, carry.xs + 1e-30 * acc[:, None, None], carry.us,
+            mult.mu_le, mult.mu_li, mult.mu_fe, mult.mu_fi,
+            wl_v, wf_v, lam_b, p, o.regType, o.full_ddp, interpret=interp)
+        return acc + bp.g_norm * 1e-30
+    timeK("fused derivs+backpass kernel", loopK(step_fused))
 
     # ---- production path: derivs + pallas backpass combined ----
     def step_cmbp(i, acc):
