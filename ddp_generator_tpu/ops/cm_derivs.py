@@ -16,8 +16,11 @@ Here the bundle is *born* component-major and packed:
   ``jax.linearize`` -- the same machinery the fused kernel runs in-VMEM,
   executed here as plain XLA ops, replacing the generated ``calc_derivs``
   of the reference, ``iLQG_func.tem:187-221``), vmapped over the horizon
-  with the batch axis minor throughout, so XLA writes every bundle array
-  directly in kernel layout with no transpose;
+  with the batch axis minor throughout, so XLA writes each per-component
+  ``(N, B)`` column directly; the kernel's ``(C, N, B)`` component-OUTER
+  arrays are then leading-axis stacks of those columns -- the one
+  concatenation XLA lowers copy-free (a middle-axis stack
+  double-materializes the whole bundle through windowed DUS fusions);
 * symmetric components (cxx, cuu and the trailing axes of fxx/fuu) are
   emitted packed (upper triangle): 194 -> 159 per-step f32 components for
   the CarParking/FULL_DDP workload, ~18% less HBM bundle traffic (the
@@ -74,8 +77,10 @@ def batched_calc_derivs_cm(
 ):
     """Batched ``calc_derivs`` with packed component-major output.
 
-    Returns ``(sd_cm dict of (N, C, B) arrays keyed like StepDerivs,
-    final_cx (n_x, B), final_cxx (n_x*n_x, B) full, ok (B,) bool)``.
+    Returns ``(sd_cm dict of component-OUTER (C, N, B) arrays keyed like
+    StepDerivs, final_cx (n_x, B), final_cxx (n_x*n_x, B) full,
+    ok (B,) bool)`` -- the exact input layout of
+    :func:`pallas_backpass.pallas_back_pass_cm`.
     """
     from .pallas_fused import (
         final_derivative_components,
@@ -98,10 +103,14 @@ def batched_calc_derivs_cm(
     mfe_rows = [mu_fe[:, i] for i in range(problem.n_hfe)]
     mfi_rows = [mu_fi[:, i] for i in range(problem.n_hfi)]
 
-    def flat2(rows2):  # nested [a][b] of (B,) -> (C, B) row-major
-        return jnp.stack([v for row in rows2 for v in row], axis=0)
+    def flat2(rows2):  # nested [a][b] of (B,) -> flat row-major list
+        return [v for row in rows2 for v in row]
 
     def step_k(k, x_arr, u_arr, mle, mli):
+        # Returns a dict of flat component LISTS of (B,) lane vectors (plus
+        # the ok flag).  After vmap over k each component is an (N, B)
+        # column; the caller stacks those on a NEW LEADING axis to build
+        # the kernel's (C, N, B) arrays copy-free.
         mu_le_rows = [mle[i] for i in range(problem.n_hle)]
         mu_li_rows = [mli[i] for i in range(problem.n_hli)]
         (fx, fu, cx, cu, cxx, cuu, cxu, fxx, fuu, fxu,
@@ -114,57 +123,50 @@ def batched_calc_derivs_cm(
         out = {
             "fx": flat2(fx),
             "fu": flat2(fu),
-            "cx": jnp.stack(cx, 0),
-            "cu": jnp.stack(cu, 0),
-            "cxx": jnp.stack(
-                pack_sym_components([v for r in cxx for v in r], n_x), 0
-            ),
-            "cuu": jnp.stack(
-                pack_sym_components([v for r in cuu for v in r], n_u), 0
-            ),
+            "cx": list(cx),
+            "cu": list(cu),
+            "cxx": pack_sym_components([v for r in cxx for v in r], n_x),
+            "cuu": pack_sym_components([v for r in cuu for v in r], n_u),
             "cxu": flat2(cxu),
-            "lower": jnp.stack(lower, 0),
-            "upper": jnp.stack(upper, 0),
+            "lower": list(lower),
+            "upper": list(upper),
             "lower_hx": flat2(lo_hx),
             "upper_hx": flat2(up_hx),
-            "lower_sign": jnp.stack(lo_s, 0),
-            "upper_sign": jnp.stack(up_s, 0),
+            "lower_sign": list(lo_s),
+            "upper_sign": list(up_s),
         }
         if full_ddp:
-            out["fxx"] = jnp.stack(
-                [
-                    v
-                    for i_ in range(n_x)
-                    for v in pack_sym_components(
-                        [fxx[i_][a][b] for a in range(n_x) for b in range(n_x)],
-                        n_x,
-                    )
-                ],
-                0,
-            )
-            out["fuu"] = jnp.stack(
-                [
-                    v
-                    for i_ in range(n_x)
-                    for v in pack_sym_components(
-                        [fuu[i_][a][b] for a in range(n_u) for b in range(n_u)],
-                        n_u,
-                    )
-                ],
-                0,
-            )
-            out["fxu"] = jnp.stack(
-                [fxu[i_][a][b] for i_ in range(n_x) for a in range(n_x)
-                 for b in range(n_u)],
-                0,
-            )
+            out["fxx"] = [
+                v
+                for i_ in range(n_x)
+                for v in pack_sym_components(
+                    [fxx[i_][a][b] for a in range(n_x) for b in range(n_x)],
+                    n_x,
+                )
+            ]
+            out["fuu"] = [
+                v
+                for i_ in range(n_x)
+                for v in pack_sym_components(
+                    [fuu[i_][a][b] for a in range(n_u) for b in range(n_u)],
+                    n_u,
+                )
+            ]
+            out["fxu"] = [
+                fxu[i_][a][b] for i_ in range(n_x) for a in range(n_x)
+                for b in range(n_u)
+            ]
         else:
-            z = jnp.zeros((0,) + dok.shape, dtype)
-            out["fxx"] = out["fuu"] = out["fxu"] = z
+            out["fxx"] = out["fuu"] = out["fxu"] = []
         return out, dok
 
     ks = jnp.arange(N)
-    sd_cm, dok_steps = jax.vmap(step_k)(ks, x_cm, u_cm, mle_cm, mli_cm)
+    cols, dok_steps = jax.vmap(step_k)(ks, x_cm, u_cm, mle_cm, mli_cm)
+    # Leading-axis stack of per-component (N, B) columns -> (C, N, B).
+    sd_cm = {
+        key: (jnp.stack(v, axis=0) if v else jnp.zeros((0, N, B), dtype))
+        for key, v in cols.items()
+    }
 
     Fx, Fxx, okf = final_derivative_components(
         problem, raw, xF_cm, params, N, mfe_rows, mfi_rows, w_pen_f, np_dtype
@@ -219,7 +221,7 @@ def cm_derivs_back_pass(
         problem, xs, us, params, mu_le, mu_li, mu_fe, mu_fi,
         w_pen_l, w_pen_f, full_ddp,
     )
-    us_cm = jnp.transpose(us, (1, 2, 0))
+    us_cm = jnp.transpose(us, (2, 1, 0))  # (n_u, N, B) component-outer
     l_cm, L_cm, dV, g_norm, failed = pallas_back_pass_cm(
         StepDerivs(**sd_cm), final_cx, final_cxx, us_cm, lam[None, :], n_x,
         reg_type=reg_type, full_ddp=full_ddp, interpret=interpret,

@@ -478,15 +478,20 @@ def _pick_time_block(N: int, comps_per_step: int, B: int, itemsize: int,
 
 
 def _pick_blocks(N: int, B: int, comps: int, itemsize: int,
-                 vmem_budget: int = 11 * 2 ** 20):
+                 vmem_budget: int = 11 * 2 ** 20,
+                 s_force: int | None = None):
     """Choose (S time steps, BT batch tile) minimizing grid steps under the
     VMEM budget.  Blocks are (C, S, BT): the minor-two dims (S, BT) are
-    hardware-tiled (8, 128), so VMEM cost rounds S up to 8 sublanes."""
+    hardware-tiled (8, 128), so VMEM cost rounds S up to 8 sublanes.
+
+    ``s_force`` pins S (user ``time_block``) and selects only BT -- the
+    (S, BT) pair is always validated jointly against the budget."""
     best = None
     bts = [B]
     while bts[-1] % 2 == 0 and bts[-1] > 128:
         bts.append(bts[-1] // 2)
-    for s in range(1, min(N, 16) + 1):
+    ss = [s_force] if s_force is not None else range(1, min(N, 16) + 1)
+    for s in ss:
         if N % s:
             continue
         s_pad = -(-s // 8) * 8 if B >= 128 else s  # sublane padding
@@ -499,7 +504,20 @@ def _pick_blocks(N: int, B: int, comps: int, itemsize: int,
                     best = (cand, s, bt)
                 break
     if best is None:
-        return 1, min(B, 128) if B >= 128 else B
+        if s_force is not None:
+            raise ValueError(
+                f"time_block={s_force} does not fit the VMEM budget "
+                f"({vmem_budget} B) at any batch tile of B={B}"
+            )
+        # Fallback: smallest blocks.  BT must DIVIDE B or the grid silently
+        # under-covers the batch (tail lanes uninitialized).
+        bt = B
+        if B > 128:
+            for d in range(128, 0, -1):
+                if B % d == 0:
+                    bt = d
+                    break
+        return 1, bt
     return best[1], best[2]
 
 
@@ -527,6 +545,28 @@ def pallas_back_pass_cm(
     n_u, N, B = us_cm.shape
     dtype = us_cm.dtype
 
+    # Fail fast on layout mistakes: a transposed us_cm mis-reads the horizon
+    # as n_u, which (without this guard) sends _patterns into a 3^N
+    # enumeration that never terminates (root cause of the round-3 bench
+    # hang).  All inputs must be component-OUTER.
+    if n_u > 3:
+        raise NotImplementedError(
+            "pallas backward pass supports n_u <= 3, got n_u="
+            f"{n_u} from us_cm.shape={us_cm.shape}; us_cm must be "
+            "component-outer (n_u, N, B)"
+        )
+    if sd_cm.cx.shape != (n_x, N, B) or sd_cm.cu.shape != (n_u, N, B):
+        raise ValueError(
+            "component-outer (C, N, B) bundle expected: cx "
+            f"{sd_cm.cx.shape} != {(n_x, N, B)} or cu {sd_cm.cu.shape} != "
+            f"{(n_u, N, B)}"
+        )
+    if final_cx.shape != (n_x, B) or final_cxx.shape != (n_x * n_x, B):
+        raise ValueError(
+            f"final_cx {final_cx.shape} / final_cxx {final_cxx.shape} must "
+            f"be {(n_x, B)} / {(n_x * n_x, B)}"
+        )
+
     step_inputs = [
         sd_cm.fx, sd_cm.fu, sd_cm.cx, sd_cm.cu, sd_cm.cxx, sd_cm.cuu,
         sd_cm.cxu,
@@ -543,11 +583,10 @@ def pallas_back_pass_cm(
         # unroll; keep blocks minimal there (perf is a TPU-only concern).
         S, BT = (2 if N % 2 == 0 else 1), B
     else:
-        S, BT = _pick_blocks(N, B, comps, jnp.dtype(dtype).itemsize)
-        if time_block is not None:
-            S = time_block
-            if N % S:
-                raise ValueError(f"time_block {S} must divide N={N}")
+        if time_block is not None and N % time_block:
+            raise ValueError(f"time_block {time_block} must divide N={N}")
+        S, BT = _pick_blocks(N, B, comps, jnp.dtype(dtype).itemsize,
+                             s_force=time_block)
     G = N // S
     NBT = B // BT
 

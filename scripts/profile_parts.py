@@ -217,7 +217,7 @@ if __name__ == "__main__":
             problem, xs, carry.us, p, mult.mu_le, mult.mu_li,
             mult.mu_fe, mult.mu_fi, wl_v, wf_v, o.full_ddp)
     )(carry.xs)
-    us_cm0 = jnp.transpose(carry.us, (1, 2, 0))
+    us_cm0 = jnp.transpose(carry.us, (2, 1, 0))  # (n_u, N, B)
 
     # sd0 must enter as jit ARGUMENTS: closed-over device arrays are baked
     # into the HLO as literals and the remote-compile payload blows the

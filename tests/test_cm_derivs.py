@@ -68,8 +68,8 @@ def test_cm_bundle_matches_calc_derivs(full_ddp):
 
     tol = dict(rtol=1e-9, atol=1e-11)
 
-    def cm_of(a):  # (B, T, d...) -> (T, C, B)
-        return np.transpose(np.asarray(a).reshape(B, T, -1), (1, 2, 0))
+    def cm_of(a):  # (B, T, d...) -> component-outer (C, T, B)
+        return np.transpose(np.asarray(a).reshape(B, T, -1), (2, 1, 0))
 
     np.testing.assert_allclose(np.asarray(sd_cm["fx"]), cm_of(d.step.fx), **tol)
     np.testing.assert_allclose(np.asarray(sd_cm["fu"]), cm_of(d.step.fu), **tol)
@@ -79,12 +79,12 @@ def test_cm_bundle_matches_calc_derivs(full_ddp):
         np.asarray(sd_cm["cxu"]), cm_of(d.step.cxu), **tol
     )
 
-    # packed symmetric components
+    # packed symmetric components (component axis is OUTER)
     cxx = np.asarray(d.step.cxx)
     for a in range(n_x):
         for b in range(a, n_x):
             np.testing.assert_allclose(
-                np.asarray(sd_cm["cxx"])[:, tri_index(a, b, n_x), :],
+                np.asarray(sd_cm["cxx"])[tri_index(a, b, n_x), :, :],
                 np.transpose(cxx[:, :, a, b], (1, 0)),
                 **tol,
             )
@@ -92,7 +92,7 @@ def test_cm_bundle_matches_calc_derivs(full_ddp):
     for a in range(n_u):
         for b in range(a, n_u):
             np.testing.assert_allclose(
-                np.asarray(sd_cm["cuu"])[:, tri_index(a, b, n_u), :],
+                np.asarray(sd_cm["cuu"])[tri_index(a, b, n_u), :, :],
                 np.transpose(cuu[:, :, a, b], (1, 0)),
                 **tol,
             )
@@ -104,7 +104,7 @@ def test_cm_bundle_matches_calc_derivs(full_ddp):
                 for b in range(a, n_x):
                     np.testing.assert_allclose(
                         np.asarray(sd_cm["fxx"])[
-                            :, i * TXS + tri_index(a, b, n_x), :
+                            i * TXS + tri_index(a, b, n_x), :, :
                         ],
                         np.transpose(fxx[:, :, i, a, b], (1, 0)),
                         **tol,
