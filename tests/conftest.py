@@ -28,3 +28,8 @@ def pytest_configure(config):
     config.addinivalue_line(
         "markers", "slow: long-running end-to-end workloads"
     )
+    config.addinivalue_line(
+        "markers",
+        "smoke: fast pre-commit gate (one tiny test per production path); "
+        "run `pytest tests -m smoke -q` before every commit",
+    )
