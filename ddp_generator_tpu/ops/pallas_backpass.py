@@ -326,10 +326,12 @@ def _make_kernel(n_x: int, n_u: int, reg_type: int, full_ddp: bool, N: int,
     NX, NU = n_x, n_u
 
     def kernel(
-        # step inputs (per-block refs, shape (C, S, BT), component-OUTER:
-        # the emission stacks per-component (N, B) arrays on a new leading
-        # axis, the one concatenation XLA lowers copy-free); FULL_DDP
-        # tensor refs present only when full_ddp:
+        # step inputs (per-block refs, shape (C, 1, S, BT) -- component-
+        # OUTER with the time axis pre-split (C, G, S, B) so the minor-two
+        # block dims equal the array dims; the emission stacks per-component
+        # (N, B) arrays on a new leading axis, the one concatenation XLA
+        # lowers copy-free); FULL_DDP tensor refs present only when
+        # full_ddp:
         *refs,
     ):
         it = iter(refs)
@@ -384,42 +386,42 @@ def _make_kernel(n_x: int, n_u: int, reg_type: int, full_ddp: bool, N: int,
         # Reverse time inside the block: in-block row j is time step
         # block_start + j, so the recursion visits j = S-1 .. 0.
         for j in range(S - 1, -1, -1):
-            fx = [[fx_ref[XX(a, b), j, :] for b in range(NX)]
+            fx = [[fx_ref[XX(a, b), 0, j, :] for b in range(NX)]
                   for a in range(NX)]
-            fu = [[fu_ref[XU(a, b), j, :] for b in range(NU)]
+            fu = [[fu_ref[XU(a, b), 0, j, :] for b in range(NU)]
                   for a in range(NX)]
-            cx = [cx_ref[a, j, :] for a in range(NX)]
-            cu = [cu_ref[a, j, :] for a in range(NU)]
-            cxx = [[cxx_ref[TX(a, b), j, :] for b in range(NX)]
+            cx = [cx_ref[a, 0, j, :] for a in range(NX)]
+            cu = [cu_ref[a, 0, j, :] for a in range(NU)]
+            cxx = [[cxx_ref[TX(a, b), 0, j, :] for b in range(NX)]
                    for a in range(NX)]
-            cuu = [[cuu_ref[TU(a, b), j, :] for b in range(NU)]
+            cuu = [[cuu_ref[TU(a, b), 0, j, :] for b in range(NU)]
                    for a in range(NU)]
-            cxu = [[cxu_ref[XU(a, b), j, :] for b in range(NU)]
+            cxu = [[cxu_ref[XU(a, b), 0, j, :] for b in range(NU)]
                    for a in range(NX)]
             if full_ddp:
                 # (i, packed(a, b)) indices on the C axis; the last two axes
                 # of fxx/fuu are symmetric (mixed-partial symmetry)
-                fxx = [[[fxx_ref[i_ * TXS + TX(a, b), j, :]
+                fxx = [[[fxx_ref[i_ * TXS + TX(a, b), 0, j, :]
                          for b in range(NX)]
                         for a in range(NX)] for i_ in range(NX)]
-                fuu = [[[fuu_ref[i_ * TUS + TU(a, b), j, :]
+                fuu = [[[fuu_ref[i_ * TUS + TU(a, b), 0, j, :]
                          for b in range(NU)]
                         for a in range(NU)] for i_ in range(NX)]
-                fxu = [[[fxu_ref[(i_ * NX + a) * NU + b, j, :]
+                fxu = [[[fxu_ref[(i_ * NX + a) * NU + b, 0, j, :]
                          for b in range(NU)]
                         for a in range(NX)] for i_ in range(NX)]
             else:
                 fxx = fuu = fxu = None
-            lower = [lower_ref[a, j, :] for a in range(NU)]
-            upper = [upper_ref[a, j, :] for a in range(NU)]
+            lower = [lower_ref[a, 0, j, :] for a in range(NU)]
+            upper = [upper_ref[a, 0, j, :] for a in range(NU)]
             # lower_hx/upper_hx are (n_u, n_x) row-major on the comp axis.
-            lo_hx = [[lo_hx_ref[a * NX + b, j, :] for b in range(NX)]
+            lo_hx = [[lo_hx_ref[a * NX + b, 0, j, :] for b in range(NX)]
                      for a in range(NU)]
-            up_hx = [[up_hx_ref[a * NX + b, j, :] for b in range(NX)]
+            up_hx = [[up_hx_ref[a * NX + b, 0, j, :] for b in range(NX)]
                      for a in range(NU)]
-            lo_s = [lo_s_ref[a, j, :] for a in range(NU)]
-            up_s = [up_s_ref[a, j, :] for a in range(NU)]
-            u_k = [u_ref[a, j, :] for a in range(NU)]
+            lo_s = [lo_s_ref[a, 0, j, :] for a in range(NU)]
+            up_s = [up_s_ref[a, 0, j, :] for a in range(NU)]
+            u_k = [u_ref[a, 0, j, :] for a in range(NU)]
 
             (l_k, L_k, dv0, dv1, Vx_new, Vxx_new, g_k,
              step_failed_f) = riccati_step(
@@ -595,16 +597,23 @@ def pallas_back_pass_cm(
     # Index maps take (bt, g); zeros derived from the args stay int32 --
     # a literal 0 under jax_enable_x64 becomes an i64 constant, which
     # Mosaic refuses to return from the index-map function.
-    def rev(bt, g):  # (C, S, BT) block of a (C, N, B) array
+    #
+    # Step inputs are reshaped (C, N, B) -> (C, G, S, B) -- a copy-free
+    # split of the time axis -- and blocked (C, 1, S, BT).  Mosaic requires
+    # a block's minor-two dims to be (8, 128)-divisible OR equal to the
+    # array dims; with the 4-D form the minor-two are (S, BT) against array
+    # dims (S, B), so any S that divides N is legal.  (A 3-D (C, S, BT)
+    # block of (C, N, B) is rejected on hardware whenever S % 8 != 0.)
+    def rev(bt, g):  # (C, 1, S, BT) block of a (C, G, S, B) array
         z = bt - bt
-        return (z, G - 1 - g, bt)
+        return (z, G - 1 - g, z, bt)
 
     def spec(a):
-        return pl.BlockSpec((a.shape[0], S, BT), rev,
+        return pl.BlockSpec((a.shape[0], 1, S, BT), rev,
                             memory_space=pltpu.VMEM)
 
+    fixed_inputs = [a.reshape(a.shape[0], G, S, B) for a in step_inputs]
     in_specs = [spec(a) for a in step_inputs]
-    fixed_inputs = step_inputs
     per_bt = lambda a: pl.BlockSpec(
         (a.shape[0], BT), lambda bt, g: (bt - bt, bt),
         memory_space=pltpu.VMEM,
