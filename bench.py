@@ -39,8 +39,8 @@ def main():
     ap.add_argument("--unroll", type=int, default=1, help="horizon scan unroll")
     ap.add_argument(
         "--backpass", default=None, choices=["serial", "pallas"],
-        help="backward-pass implementation (default: pallas on TPU, the "
-        "fused kernel; serial scan elsewhere)",
+        help="backward-pass implementation (default: pallas on TPU — the "
+        "streamed component-major bundle kernel; serial scan elsewhere)",
     )
     ap.add_argument(
         "--linesearch", default=None, choices=["serial", "pallas"],

@@ -1066,6 +1066,8 @@ def make_stepwise_solver(
     chunk: int = 10,
     batch_params: bool = False,
     mesh=None,
+    pipeline_depth: int = 3,
 ) -> StepwiseSolver:
     return StepwiseSolver(problem, options, chunk=chunk,
-                          batch_params=batch_params, mesh=mesh)
+                          batch_params=batch_params, mesh=mesh,
+                          pipeline_depth=pipeline_depth)

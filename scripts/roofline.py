@@ -73,11 +73,14 @@ def main():
         rng0.standard_normal(64 * 1024 * 1024 // fsize), jnp.dtype(dtype)
     )  # 64 MB
 
+    # NB: return a SCALAR -- returning the array itself drags 64 MB back
+    # through the relayed backend on every np.asarray sync, and that
+    # transfer (not the chip) dominates the measurement.
     @jax.jit
     def copy_chain(a0):
         def body(i, a):
             return a + 1.0  # read + write 64 MB
-        return lax.fori_loop(0, K, body, a0)
+        return lax.fori_loop(0, K, body, a0).sum()
 
     t_copy = timeK(lambda: copy_chain(big))
     bw = 2 * big.size * fsize / t_copy  # bytes/s (read+write)
@@ -96,7 +99,7 @@ def main():
             for _ in range(C):
                 x = x * 1.000000119 + 1e-7
             return x
-        return lax.fori_loop(0, K, body, v0)
+        return lax.fori_loop(0, K, body, v0).sum()
 
     t_fma = timeK(lambda: fma_chain(vec))
     fma_rate = 2 * C * vec.size / t_fma  # FLOP/s (mul+add = 2)
@@ -112,7 +115,7 @@ def main():
             for _ in range(CT):
                 x = jnp.arctan(jnp.tan(x * 0.999))
             return x
-        return lax.fori_loop(0, K, body, v0)
+        return lax.fori_loop(0, K, body, v0).sum()
 
     t_trans = timeK(lambda: trans_chain(vec * 0.5))
     trans_rate = 2 * CT * vec.size / t_trans  # transcendental-evals/s
@@ -186,7 +189,15 @@ def main():
                     problem, carry.xs + 1e-30 * acc[:, None, None],
                     carry.us, p, mult.mu_le, mult.mu_li, mult.mu_fe,
                     mult.mu_fi, wl, wf, o.full_ddp)
-                return acc + fcx[0] * 1e-30
+                # Checksum EVERY bundle leaf: consuming only fcx lets XLA
+                # dead-code-eliminate the bundle emission entirely (measured
+                # 0.48 ms, below the 0.79 ms write floor -- a giveaway).
+                # Cost: one extra read pass over the bundle, reflected in
+                # the traffic estimate below.
+                chk = sum(
+                    a.sum() for a in jax.tree_util.tree_leaves(sd)
+                ) + fcxx.sum()
+                return acc + (fcx[0] + chk) * 1e-30
             return lax.fori_loop(0, K, body, jnp.zeros((B,), dt))
         return jax.jit(fn)
 
@@ -209,9 +220,9 @@ def main():
         derivs_bytes = 0.0
     t_derivs = bench_op(
         "calc_derivs (packed CM emission)", mk_derivs,
-        traffic_bytes=max(bundle_bytes, derivs_bytes),
+        traffic_bytes=max(2 * bundle_bytes, derivs_bytes),
         flops=derivs_flops,
-        notes="writes the packed bundle once",
+        notes="bundle written once + checksum read",
     )
 
     # ---- full derivs+backpass (production path) ----
@@ -276,7 +287,7 @@ def main():
     )
     ls_trans = TRANS_PER_STEP * T * B * (A + 1)
     t_ls = bench_op(
-        "pallas line search (sweep+selected)", mk_ls(False, None)(),
+        "pallas line search (sweep+selected)", mk_ls(False, None),
         traffic_bytes=ls_traffic, trans=ls_trans,
         notes=f"{A} alphas + 1 selected rollout",
     )
@@ -284,7 +295,7 @@ def main():
     alive_all = jnp.zeros((B,), bool)  # no live lane rejects -> quick path
     ls1_traffic = (2 * (n_x + n_u) + n_u * n_x + n_x) * T * B * fsize
     t_ls1 = bench_op(
-        "staged line search (alpha0 fast path)", mk_ls(True, alive_all)(),
+        "staged line search (alpha0 fast path)", mk_ls(True, alive_all),
         traffic_bytes=ls1_traffic, trans=TRANS_PER_STEP * T * B,
         notes="quick path: 1 rollout instead of 9",
     )

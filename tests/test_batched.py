@@ -148,6 +148,28 @@ def test_stepwise_compaction_bit_identical(car_small):
     )
 
 
+def test_stepwise_pipeline_depth_bit_identical(car_small):
+    """The pipelined active-count sync (deque lag of ``pipeline_depth``
+    chunks) only changes WHEN the host learns lanes are done, never the
+    lane math — results must equal the synchronous depth=1 path."""
+    prob, p, x0, opts = car_small
+    x0s, u0s = _batch_inputs(x0, 12, 60, seed=7)
+    ref = ddp.make_stepwise_solver(prob, opts, chunk=2, pipeline_depth=1)(
+        x0s, u0s, p
+    )
+    got = ddp.make_stepwise_solver(prob, opts, chunk=2, pipeline_depth=4)(
+        x0s, u0s, p
+    )
+    np.testing.assert_array_equal(np.asarray(got.cost), np.asarray(ref.cost))
+    np.testing.assert_array_equal(
+        np.asarray(got.iterations), np.asarray(ref.iterations)
+    )
+    np.testing.assert_array_equal(np.asarray(got.us), np.asarray(ref.us))
+    np.testing.assert_array_equal(
+        np.asarray(got.status), np.asarray(ref.status)
+    )
+
+
 def test_stepwise_compaction_batched_params(car_small):
     prob, p, x0, opts = car_small
     B = 12
