@@ -186,6 +186,7 @@ def main():
     status = np.asarray(sol.status)
     body_calls = np.asarray(sol.body_calls)
     stale_calls = np.asarray(sol.stale_calls)
+    bp_retry_calls = np.asarray(sol.bp_retry_calls)
     # Split accounting: "solved" = hit a convergence tolerance (gradient or
     # tolFun, status 1/2); "exhausted" = iteration budget ran out (status 7).
     # sol.success alone (back-pass-done && iterations left, iLQG.c:367-378)
@@ -193,11 +194,14 @@ def main():
     solved = np.isin(status, (1, 2))
     exhausted = status == 7
     stale_frac = stale_calls.sum() / max(body_calls.sum(), 1)
+    retry_frac = bp_retry_calls.sum() / max(body_calls.sum(), 1)
     log(
         f"batch={B} wall={dt:.3f}s success={succ.mean()*100:.1f}% "
         f"solved={solved.mean()*100:.1f}% exhausted={exhausted.mean()*100:.1f}% "
         f"iters: mean={iters.mean():.1f} max={iters.max()} "
         f"body calls: mean={body_calls.mean():.1f} stale={stale_frac*100:.1f}% "
+        f"(lambda-retry {retry_frac*100:.1f}% / LS-reject "
+        f"{(stale_frac-retry_frac)*100:.1f}%) "
         f"cost: mean={costs.mean():.4f} median={np.median(costs):.4f}"
     )
 

@@ -74,6 +74,7 @@ def batched_calc_derivs_cm(
     w_pen_l: Array,  # (B,)
     w_pen_f: Array,
     full_ddp: bool,
+    shared_primal: bool = True,
 ):
     """Batched ``calc_derivs`` with packed component-major output.
 
@@ -81,10 +82,21 @@ def batched_calc_derivs_cm(
     StepDerivs, final_cx (n_x, B), final_cxx (n_x*n_x, B) full,
     ok (B,) bool)`` -- the exact input layout of
     :func:`pallas_backpass.pallas_back_pass_cm`.
+
+    ``shared_primal`` selects the single-primal-trace emitter
+    (:func:`pallas_fused.step_derivative_components_shared`, ~12x fewer
+    transcendental evaluations); ``False`` keeps the per-family original
+    for A/B measurement.
     """
     from .pallas_fused import (
         final_derivative_components,
         step_derivative_components,
+        step_derivative_components_shared,
+    )
+
+    step_components = (
+        step_derivative_components_shared if shared_primal
+        else step_derivative_components
     )
 
     B, Np1, n_x = xs.shape
@@ -115,7 +127,7 @@ def batched_calc_derivs_cm(
         mu_li_rows = [mli[i] for i in range(problem.n_hli)]
         (fx, fu, cx, cu, cxx, cuu, cxu, fxx, fuu, fxu,
          lower, upper, lo_hx, up_hx, lo_s, up_s, dok) = (
-            step_derivative_components(
+            step_components(
                 problem, raw, x_arr, u_arr, params, k, mu_le_rows,
                 mu_li_rows, w_pen_l, full_ddp, np_dtype,
             )
@@ -180,6 +192,85 @@ def batched_calc_derivs_cm(
     return sd_cm, final_cx, final_cxx, ok
 
 
+def cm_emit(
+    problem: Problem,
+    xs: Array,  # (B, N+1, n_x)
+    us: Array,  # (B, N, n_u)
+    mu_le: Array,
+    mu_li: Array,
+    mu_fe: Array,
+    mu_fi: Array,
+    w_pen_l: Array,  # (B,) derivative-time penalty weights
+    w_pen_f: Array,
+    params: Any,  # shared pytree
+    full_ddp: bool,
+):
+    """Lane-pad to the TPU tile width and emit the packed CM bundle.
+
+    Returns ``(sd_cm dict, final_cx, final_cxx, us_cm, ok (B,) unpadded,
+    pad)`` -- the emission half of :func:`cm_derivs_back_pass`, split out
+    so a lambda-escalation retry can re-run ONLY the kernel on the frozen
+    bundle (the reference's inner while, ``iLQG.c:261-284``, never
+    recomputes derivatives between retries)."""
+    B = xs.shape[0]
+    pad = (-B) % 128
+    if pad:
+        padb = lambda a: jnp.concatenate(
+            [a, jnp.broadcast_to(a[:1], (pad,) + a.shape[1:])], axis=0
+        )
+        xs, us, mu_le, mu_li, mu_fe, mu_fi, w_pen_l, w_pen_f = (
+            padb(a) for a in (xs, us, mu_le, mu_li, mu_fe, mu_fi,
+                              w_pen_l, w_pen_f)
+        )
+    sd_cm, final_cx, final_cxx, ok = batched_calc_derivs_cm(
+        problem, xs, us, params, mu_le, mu_li, mu_fe, mu_fi,
+        w_pen_l, w_pen_f, full_ddp,
+    )
+    us_cm = jnp.transpose(us, (2, 1, 0))  # (n_u, N, B) component-outer
+    if pad:
+        ok = ok[:B]
+    return sd_cm, final_cx, final_cxx, us_cm, ok, pad
+
+
+def cm_back_pass_from_bundle(
+    sd_cm,  # dict of component-outer (C, N, Bp) arrays
+    final_cx: Array,
+    final_cxx: Array,
+    us_cm: Array,  # (n_u, N, Bp)
+    lam: Array,  # (B,) UNPADDED
+    n_x: int,
+    reg_type: int,
+    full_ddp: bool,
+    pad: int,
+    interpret: bool = False,
+) -> BackPassResult:
+    """Kernel half of :func:`cm_derivs_back_pass`: run the Pallas backward
+    pass on an already-emitted (padded) bundle and return the batch-major
+    unpadded result."""
+    from ..derivs import StepDerivs
+
+    n_u, N, Bp = us_cm.shape
+    B = Bp - pad
+    if pad:
+        lam = jnp.concatenate(
+            [lam, jnp.broadcast_to(lam[:1], (pad,))], axis=0
+        )
+    l_cm, L_cm, dV, g_norm, failed = pallas_back_pass_cm(
+        StepDerivs(**sd_cm), final_cx, final_cxx, us_cm, lam[None, :], n_x,
+        reg_type=reg_type, full_ddp=full_ddp, interpret=interpret,
+    )
+    res = BackPassResult(
+        l=jnp.transpose(l_cm, (2, 0, 1)),
+        L=jnp.transpose(L_cm, (2, 0, 1)).reshape(Bp, N, n_u, n_x),
+        dV=jnp.transpose(dV, (1, 0)),
+        g_norm=g_norm[0],
+        failed=failed[0],
+    )
+    if pad:
+        res = jax.tree_util.tree_map(lambda a: a[:B], res)
+    return res
+
+
 def cm_derivs_back_pass(
     problem: Problem,
     xs: Array,  # (B, N+1, n_x)
@@ -201,39 +292,12 @@ def cm_derivs_back_pass(
     Returns ``(BackPassResult batch-major, derivs_ok (B,) bool)`` --
     semantics of ``calc_derivs`` + ``back_pass`` per lane (the combined
     step 1+2 of ``iLQG.c:241-284``)."""
-    from ..derivs import StepDerivs
-
-    B, Np1, n_x = xs.shape
-    N = Np1 - 1
-    n_u = us.shape[-1]
-
-    pad = (-B) % 128
-    if pad:
-        padb = lambda a: jnp.concatenate(
-            [a, jnp.broadcast_to(a[:1], (pad,) + a.shape[1:])], axis=0
-        )
-        xs, us, mu_le, mu_li, mu_fe, mu_fi, w_pen_l, w_pen_f, lam = (
-            padb(a) for a in (xs, us, mu_le, mu_li, mu_fe, mu_fi,
-                              w_pen_l, w_pen_f, lam)
-        )
-
-    sd_cm, final_cx, final_cxx, ok = batched_calc_derivs_cm(
-        problem, xs, us, params, mu_le, mu_li, mu_fe, mu_fi,
-        w_pen_l, w_pen_f, full_ddp,
+    sd_cm, final_cx, final_cxx, us_cm, ok, pad = cm_emit(
+        problem, xs, us, mu_le, mu_li, mu_fe, mu_fi, w_pen_l, w_pen_f,
+        params, full_ddp,
     )
-    us_cm = jnp.transpose(us, (2, 1, 0))  # (n_u, N, B) component-outer
-    l_cm, L_cm, dV, g_norm, failed = pallas_back_pass_cm(
-        StepDerivs(**sd_cm), final_cx, final_cxx, us_cm, lam[None, :], n_x,
-        reg_type=reg_type, full_ddp=full_ddp, interpret=interpret,
+    res = cm_back_pass_from_bundle(
+        sd_cm, final_cx, final_cxx, us_cm, lam, problem.n_x,
+        reg_type, full_ddp, pad, interpret=interpret,
     )
-    res = BackPassResult(
-        l=jnp.transpose(l_cm, (2, 0, 1)),
-        L=jnp.transpose(L_cm, (2, 0, 1)).reshape(B + pad, N, n_u, n_x),
-        dV=jnp.transpose(dV, (1, 0)),
-        g_norm=g_norm[0],
-        failed=failed[0],
-    )
-    if pad:
-        res = jax.tree_util.tree_map(lambda a: a[:B], res)
-        ok = ok[:B]
     return res, ok

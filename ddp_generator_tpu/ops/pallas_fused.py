@@ -79,6 +79,56 @@ class _Safes:
         self.hfi = [pallas_safe(fn) for fn in problem.hfi]
 
 
+def _box_limit_components(
+    problem: Problem,
+    safes,
+    x_arr: Array,  # (n_x, B)
+    u_arr: Array,  # (n_u, B)
+    p: Any,
+    k,
+    np_dtype,
+):
+    """Box limits as lane-vector components (limitsU, iLQG_func.tem:75-119).
+
+    Returns ``(lower, upper, lo_hx, up_hx, lo_s, up_s)`` with bounds
+    relative to the current ``u``."""
+    NX, NU = problem.n_x, problem.n_u
+    ex = lambda j: _basis(NX, j, x_arr)
+    zeros = jnp.zeros_like(x_arr[0])
+    big = jnp.zeros_like(zeros) + np.asarray(np.inf, np_dtype)
+    lower = [-big for _ in range(NU)]
+    upper = [big for _ in range(NU)]
+    lo_hx = [[zeros for _ in range(NX)] for _ in range(NU)]
+    up_hx = [[zeros for _ in range(NX)] for _ in range(NU)]
+    lo_s = [zeros for _ in range(NU)]
+    up_s = [zeros for _ in range(NU)]
+    for bc, hs in zip(problem.box_constraints, safes.h):
+        hval = hs(x_arr, u_arr, p, k)
+        lim = -bc.sign * (hval - bc.sign * u_arr[bc.u_index])
+        _, h_lin = jax.linearize(lambda xx: hs(xx, u_arr, p, k), x_arr)
+        hx_cols = [h_lin(ex(b)) for b in range(NX)]
+        j = bc.u_index
+        sgn = jnp.zeros_like(zeros) + np.asarray(bc.sign, np_dtype)
+        # jnp.where, NOT a+t*(b-a): the untightened bound is +-inf and
+        # inf - inf would poison the arithmetic form with NaNs.
+        if bc.sign > 0:
+            tighter = lim < upper[j]
+            upper[j] = jnp.where(tighter, lim, upper[j])
+            up_s[j] = jnp.where(tighter, sgn, up_s[j])
+            for b in range(NX):
+                up_hx[j][b] = jnp.where(tighter, hx_cols[b], up_hx[j][b])
+        else:
+            tighter = lim > lower[j]
+            lower[j] = jnp.where(tighter, lim, lower[j])
+            lo_s[j] = jnp.where(tighter, sgn, lo_s[j])
+            for b in range(NX):
+                lo_hx[j][b] = jnp.where(tighter, hx_cols[b], lo_hx[j][b])
+    # bounds relative to current u (iLQG_func.tem:91-94)
+    lower = [lower[a] - u_arr[a] for a in range(NU)]
+    upper = [upper[a] - u_arr[a] for a in range(NU)]
+    return lower, upper, lo_hx, up_hx, lo_s, up_s
+
+
 def step_derivative_components(
     problem: Problem,
     safes: _Safes,
@@ -187,42 +237,162 @@ def step_derivative_components(
         for b in range(a, NU):
             cuu[a][b] = cuu[b][a] = da_lin(zx, eu(b))
 
-    # ---- box limits (limitsU, iLQG_func.tem:75-119) ----
-    zeros = jnp.zeros_like(x_arr[0])
-    big = jnp.zeros_like(zeros) + np.asarray(np.inf, np_dtype)
-    lower = [-big for _ in range(NU)]
-    upper = [big for _ in range(NU)]
-    lo_hx = [[zeros for _ in range(NX)] for _ in range(NU)]
-    up_hx = [[zeros for _ in range(NX)] for _ in range(NU)]
-    lo_s = [zeros for _ in range(NU)]
-    up_s = [zeros for _ in range(NU)]
-    for bc, hs in zip(problem.box_constraints, safes.h):
-        hval = hs(x_arr, u_arr, p, k)
-        lim = -bc.sign * (hval - bc.sign * u_arr[bc.u_index])
-        _, h_lin = jax.linearize(lambda xx: hs(xx, u_arr, p, k), x_arr)
-        hx_cols = [h_lin(ex(b)) for b in range(NX)]
-        j = bc.u_index
-        sgn = jnp.zeros_like(zeros) + np.asarray(bc.sign, np_dtype)
-        # jnp.where, NOT a+t*(b-a): the untightened bound is +-inf and
-        # inf - inf would poison the arithmetic form with NaNs.
-        if bc.sign > 0:
-            tighter = lim < upper[j]
-            upper[j] = jnp.where(tighter, lim, upper[j])
-            up_s[j] = jnp.where(tighter, sgn, up_s[j])
-            for b in range(NX):
-                up_hx[j][b] = jnp.where(tighter, hx_cols[b], up_hx[j][b])
-        else:
-            tighter = lim > lower[j]
-            lower[j] = jnp.where(tighter, lim, lower[j])
-            lo_s[j] = jnp.where(tighter, sgn, lo_s[j])
-            for b in range(NX):
-                lo_hx[j][b] = jnp.where(tighter, hx_cols[b], lo_hx[j][b])
-    # bounds relative to current u (iLQG_func.tem:91-94)
-    lower = [lower[a] - u_arr[a] for a in range(NU)]
-    upper = [upper[a] - u_arr[a] for a in range(NU)]
+    lower, upper, lo_hx, up_hx, lo_s, up_s = _box_limit_components(
+        problem, safes, x_arr, u_arr, p, k, np_dtype
+    )
 
     # derivative NaN/Inf guard over every object (calc_derivs ok flag)
+    zeros = jnp.zeros_like(x_arr[0])
     dok = jnp.ones_like(zeros)
+    for grp in (fx, fu, cxx, cuu, cxu):
+        for row in grp:
+            for v in row:
+                dok = dok * jnp.isfinite(v).astype(np_dtype)
+    for v in cx + cu:
+        dok = dok * jnp.isfinite(v).astype(np_dtype)
+    if full_ddp:
+        for t3 in (fxx, fuu, fxu):
+            for m2 in t3:
+                for row in m2:
+                    for v in row:
+                        dok = dok * jnp.isfinite(v).astype(np_dtype)
+
+    return (fx, fu, cx, cu, cxx, cuu, cxu, fxx, fuu, fxu,
+            lower, upper, lo_hx, up_hx, lo_s, up_s, dok)
+
+
+def step_derivative_components_shared(
+    problem: Problem,
+    safes,
+    x_arr: Array,  # (n_x, B)
+    u_arr: Array,  # (n_u, B)
+    p: Any,
+    k,
+    mu_le_rows,
+    mu_li_rows,
+    wpl: Array,  # (B,)
+    full_ddp: bool,
+    np_dtype,
+):
+    """:func:`step_derivative_components` with a SINGLE shared primal trace.
+
+    The per-family version evaluates the user's nonlinear ``f``/``L`` once
+    per ``jax.linearize`` family (~13 times for a FULL_DDP 4x2 problem) and
+    XLA does not CSE the duplicated transcendentals across families: the
+    compiled CarParking emission carried ~183 sin/cos evaluations per
+    (step, lane) where the symbolic reference needs ~15 (the Maxima
+    ``optimize`` CSE of the generated code, ``genenerator_main.mac``).  At
+    production shapes the emission is transcendental-throughput-bound, so
+    that redundancy is the dominant cost.
+
+    Here the nonlinear functions are traced ONCE:
+
+    * ``fo(x, u)`` linearizes ``(f, L)`` jointly and returns the primal
+      plus every first-order column -- all columns are linear applications
+      on one set of shared residuals;
+    * one outer ``jax.linearize(fo)`` then yields every second-order
+      object as tangent applications on the same residuals (the cos/sin
+      values introduced by derivative rules are computed once and shared
+      by construction, not by hoping for CSE).
+
+    Output contract is identical to :func:`step_derivative_components`;
+    values agree to float roundoff (association order differs).
+    """
+    NX, NU = problem.n_x, problem.n_u
+    D = NX + NU
+
+    def f_fn(xx, uu):
+        return safes.f(xx, uu, p, k)
+
+    def L_fn(xx, uu):
+        c = safes.L(xx, uu, p, k)
+        for idx, fn in enumerate(safes.hle):
+            c = c + _eq_penalty(mu_le_rows[idx], fn(xx, uu, p, k), wpl)
+        for idx, fn in enumerate(safes.hli):
+            c = c + _ineq_penalty(mu_li_rows[idx], fn(xx, uu, p, k), wpl)
+        return c
+
+    # Stacked basis directions (D, n_x, B)/(D, n_u, B): direction j is
+    # (e_j, 0) for j < NX, (0, e_{j-NX}) after.  The linear maps below are
+    # applied VMAPPED over this stack -- one copy of the tangent graph --
+    # NOT once per direction: partial evaluation inlines a separate copy
+    # per call site, and the residual-derivative terms the outer jvp
+    # attaches to each copy (cos -> -sin etc.) defeat XLA CSE (measured:
+    # per-call-site applications only got ~23% below the per-family
+    # version's transcendental count; the vmapped form reaches the
+    # distinct-subexpression floor).
+    def basis_stack(like_x, like_u):
+        dxs = jnp.stack(
+            [_basis(NX, j, like_x) for j in range(NX)]
+            + [jnp.zeros_like(like_x) for _ in range(NU)]
+        )
+        dus = jnp.stack(
+            [jnp.zeros_like(like_u) for _ in range(NX)]
+            + [_basis(NU, j, like_u) for j in range(NU)]
+        )
+        return dxs, dus
+
+    def fo(xx, uu):
+        _, lin = jax.linearize(
+            lambda a, b: (f_fn(a, b), L_fn(a, b)), xx, uu
+        )
+        dxs, dus = basis_stack(xx, uu)
+        return jax.vmap(lin)(dxs, dus)  # ((D, n_x, B), (D, B))
+
+    (dF, dL), fo_lin = jax.linearize(fo, x_arr, u_arr)
+
+    # first order: dF[b] = df/d dir_b, dL[b] = dL/d dir_b
+    fx = [[dF[b, a] for b in range(NX)] for a in range(NX)]
+    fu = [[dF[NX + b, a] for b in range(NU)] for a in range(NX)]
+    cx = [dL[a] for a in range(NX)]
+    cu = [dL[NX + a] for a in range(NU)]
+
+    # second order: tangents of every first-order column along every
+    # direction, again as ONE vmapped application of the linear map.
+    dxs, dus = basis_stack(x_arr, u_arr)
+    ddF, ddL = jax.vmap(fo_lin)(dxs, dus)  # (D, D, n_x, B), (D, D, B)
+
+    cxx = [[None] * NX for _ in range(NX)]
+    cxu = [[None] * NU for _ in range(NX)]
+    cuu = [[None] * NU for _ in range(NU)]
+    for a in range(NX):
+        for b in range(a, NX):
+            # one value per unordered pair, mirrored (matches the
+            # per-family version's explicit symmetrization)
+            cxx[a][b] = cxx[b][a] = ddL[a, b]
+    for a in range(NU):
+        for b in range(NX):
+            cxu[b][a] = ddL[NX + a, b]
+        for b in range(a, NU):
+            cuu[a][b] = cuu[b][a] = ddL[NX + a, NX + b]
+
+    if full_ddp:
+        fxx = [[[None] * NX for _ in range(NX)] for _ in range(NX)]
+        fxu = [[[None] * NU for _ in range(NX)] for _ in range(NX)]
+        fuu = [[[None] * NU for _ in range(NU)] for _ in range(NX)]
+        for a in range(NX):
+            for b in range(a, NX):
+                t = ddF[a, b]  # (n_x, B): d2 f / dx_a dx_b
+                for i_ in range(NX):
+                    fxx[i_][a][b] = fxx[i_][b][a] = t[i_]
+        for b in range(NU):
+            for a in range(NX):
+                t = ddF[NX + b, a]  # d2 f / dx_a du_b
+                for i_ in range(NX):
+                    fxu[i_][a][b] = t[i_]
+            for a in range(b, NU):
+                t = ddF[NX + b, NX + a]  # d2 f / du_b du_a
+                for i_ in range(NX):
+                    fuu[i_][a][b] = fuu[i_][b][a] = t[i_]
+    else:
+        fxx = fuu = fxu = None
+
+    lower, upper, lo_hx, up_hx, lo_s, up_s = _box_limit_components(
+        problem, safes, x_arr, u_arr, p, k, np_dtype
+    )
+
+    # derivative NaN/Inf guard over every object (calc_derivs ok flag)
+    dok = jnp.ones_like(x_arr[0])
     for grp in (fx, fu, cxx, cuu, cxu):
         for row in grp:
             for v in row:

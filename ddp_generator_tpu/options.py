@@ -106,6 +106,17 @@ class SolverOptions:
     # live lane rejects alpha[0].  Per-lane results are identical either
     # way; this is purely a scheduling optimization.
     linesearch_staged: bool = True
+    # Where lambda-escalation retries run (the reference's inner while,
+    # iLQG.c:261-284: a failed backward pass escalates lambda and re-runs
+    # ONLY the backward pass on the unchanged derivative bundle):
+    # "inline": a while_loop around the backward pass inside one iteration
+    #   body -- a retry costs one extra backward-pass execution;
+    # "deferred": a failed pass returns to the outer loop and the retry is
+    #   the NEXT body call -- the retry re-pays derivative emission and
+    #   masked line-search compute (~a full body, measured 40.7% of body
+    #   calls on the CarParking bench).
+    # Per-lane (lambda, attempt) sequences and results are identical.
+    lam_retry: str = "inline"
     # lax.scan unroll factor for the horizon sweeps (rollout + backward
     # pass); >1 trades compile time for less loop overhead on TPU.
     scan_unroll: int = 1
@@ -161,6 +172,8 @@ class SolverOptions:
             )
         if self.linesearch_method not in ("serial", "pallas"):
             raise OptionError("linesearch_method must be serial|pallas")
+        if self.lam_retry not in ("inline", "deferred"):
+            raise OptionError("lam_retry must be inline|deferred")
 
     @property
     def n_alpha(self) -> int:
@@ -185,7 +198,8 @@ def options_from_dict(d: dict) -> SolverOptions:
             value = int(value)
         elif name in ("full_ddp", "linesearch_staged"):
             value = bool(value)
-        elif name == "dtype":
+        elif name in ("dtype", "lam_retry", "boxqp_method",
+                      "backpass_method", "linesearch_method"):
             value = str(value)
         elif name in ("boxqp_min_grad", "boxqp_min_rel_improve"):
             value = value if value == "auto" else float(value)

@@ -101,6 +101,8 @@ class _Carry(NamedTuple):
     log_cost: Array
     body_calls: Array  # int32 (see Solution.body_calls)
     stale_calls: Array  # int32
+    bp_retry_calls: Array  # int32 (see Solution.bp_retry_calls)
+    was_bp_retry: Array  # bool: previous call ended in a lambda retry
 
 
 def _boxqp_hyper(o: SolverOptions) -> BoxQPHyper:
@@ -130,6 +132,59 @@ def _boxqp_hyper(o: SolverOptions) -> BoxQPHyper:
     )
 
 
+def _mask_where(mask, a, b):
+    """Pytree select with a lane mask broadcast across trailing axes (works
+    for scalar per-lane masks under vmap and (B,) masks in batched rules)."""
+    def w(x, y):
+        m = mask
+        extra = jnp.ndim(x) - jnp.ndim(m)
+        if extra > 0:
+            m = m.reshape(jnp.shape(m) + (1,) * extra)
+        return jnp.where(m, x, y)
+
+    return jax.tree_util.tree_map(w, a, b)
+
+
+def _lam_retry_loop(bp_call, bp0, lam0, dlam0, can, o: SolverOptions):
+    """The reference's inner lambda-escalation while (``iLQG.c:261-284``):
+    a failed backward pass escalates lambda and re-runs ONLY the backward
+    pass; derivatives stay frozen (``bp_call`` must close over the bundle).
+
+    Works per-lane (scalar carry, under vmap) and batch-wide ((B,) carry in
+    a custom_vmap rule; one extra kernel execution per max-over-lanes
+    retry).  Per-lane (lambda, attempt) sequences are exactly those of the
+    deferred path (``lam_retry="deferred"``), which re-enters the outer
+    body per retry.
+
+    Returns ``(bp, lam, dlam, n_attempts)``; lanes that exhaust the
+    schedule keep ``bp.failed`` with lambda escalated past ``lambdaMax``
+    (the caller maps that to STATUS_NO_DESCENT, ``iLQG.c:367-371``).
+    """
+    i32 = jnp.int32
+
+    def cond(s):
+        return jnp.any(s[3])
+
+    def body(s):
+        lam, dlam, bp, cont, n = s
+        dlam_f = jnp.maximum(dlam * o.lambdaFactor, o.lambdaFactor)
+        lam_f = jnp.maximum(lam * dlam_f, o.lambdaMin)
+        over = lam_f > o.lambdaMax
+        do = cont & ~over
+        bp1 = bp_call(lam_f)
+        bp = _mask_where(do, bp1, bp)
+        lam = jnp.where(cont, lam_f, lam)
+        dlam = jnp.where(cont, dlam_f, dlam)
+        return lam, dlam, bp, do & bp1.failed, n + do.astype(i32)
+
+    cont0 = bp0.failed & can
+    lam, dlam, bp, _, n = lax.while_loop(
+        cond, body,
+        (lam0, dlam0, bp0, cont0, jnp.zeros(jnp.shape(cont0), i32)),
+    )
+    return bp, lam, dlam, n
+
+
 def _make_parts(problem: Problem, options: SolverOptions):
     """Build (init_fn, body_fn, finalize_fn) sharing one iteration body.
 
@@ -153,10 +208,15 @@ def _make_parts(problem: Problem, options: SolverOptions):
         # pytree can't leak float64 into a float32 solve (and vice versa).
         return jax.tree_util.tree_map(_cast_param, params)
 
+    _inline_retry = o.lam_retry == "inline"
+
+    def _no_att(like):
+        return jnp.zeros(jnp.shape(like), jnp.int32)
+
     if o.backpass_method == "pallas":
         from jax import custom_batching
 
-        from .ops.cm_derivs import cm_derivs_back_pass
+        from .ops.cm_derivs import cm_back_pass_from_bundle, cm_emit
         from .ops.pallas_backpass import batched_back_pass_pallas
 
         if problem.n_u > 3:
@@ -164,25 +224,37 @@ def _make_parts(problem: Problem, options: SolverOptions):
         # Interpret the kernel off-TPU so the pallas path is testable on CPU.
         _interp = jax.default_backend() != "tpu"
 
-        def _serial_derivs_bp_p(xs, us, mult, wld, wfd, lam, params):
+        def _serial_derivs_bp_p(xs, us, mult, wld, wfd, lam, dlam,
+                                new_deriv, live, params):
             d = calc_derivs(
                 problem, xs, us, params,
                 mult.mu_le, mult.mu_li, mult.mu_fe, mult.mu_fi,
                 wld, wfd, o.full_ddp,
             )
-            bp = back_pass(d, us, lam, o.regType, o.full_ddp, hyper,
-                           unroll=o.scan_unroll)
-            return bp, d.ok
+            bpc = lambda lm: back_pass(d, us, lm, o.regType, o.full_ddp,
+                                       hyper, unroll=o.scan_unroll)
+            bp = bpc(lam)
+            if _inline_retry:
+                can = live & ~(new_deriv & ~d.ok)
+                bp, lam, dlam, n_att = _lam_retry_loop(
+                    bpc, bp, lam, dlam, can, o)
+            else:
+                n_att = _no_att(live)
+            return bp, d.ok, lam, dlam, n_att
 
         @custom_batching.custom_vmap
-        def _run_derivs_bp(xs, us, mult, wld, wfd, lam, params):
+        def _run_derivs_bp(xs, us, mult, wld, wfd, lam, dlam,
+                           new_deriv, live, params):
             # Unbatched (per-instance) calls keep the XLA path.
-            return _serial_derivs_bp_p(xs, us, mult, wld, wfd, lam, params)
+            return _serial_derivs_bp_p(xs, us, mult, wld, wfd, lam, dlam,
+                                       new_deriv, live, params)
 
         @_run_derivs_bp.def_vmap
         def _cm_vmap_rule(axis_size, in_batched, *operands):
-            xs, us, mult, wld, wfd, lam, params_op = operands
-            xs_b, us_b, mult_b, wld_b, wfd_b, lam_b, params_b = in_batched
+            (xs, us, mult, wld, wfd, lam, dlam, new_deriv, live,
+             params_op) = operands
+            (xs_b, us_b, mult_b, wld_b, wfd_b, lam_b, dlam_b, nd_b,
+             live_b, params_b) = in_batched
 
             # custom_vmap passes operands that were constant across lanes
             # unbatched; broadcast them so the kernel sees uniform (B, ...)
@@ -191,9 +263,10 @@ def _make_parts(problem: Problem, options: SolverOptions):
                     jnp.asarray(x)[None], (axis_size,) + jnp.shape(x)
                 )
 
-            xs, us, wld, wfd, lam = (
+            xs, us, wld, wfd, lam, dlam, new_deriv, live = (
                 bc(xs, xs_b), bc(us, us_b), bc(wld, wld_b),
-                bc(wfd, wfd_b), bc(lam, lam_b),
+                bc(wfd, wfd_b), bc(lam, lam_b), bc(dlam, dlam_b),
+                bc(new_deriv, nd_b), bc(live, live_b),
             )
             mult = jax.tree_util.tree_map(bc, mult, mult_b)
             if any(jax.tree_util.tree_leaves(params_b)):
@@ -208,16 +281,30 @@ def _make_parts(problem: Problem, options: SolverOptions):
                         wl_, wf_, o.full_ddp,
                     )
                 )(xs, us, mult, wld, wfd, params_bc)
-                bp = batched_back_pass_pallas(
-                    d, us, lam, o.regType, o.full_ddp, interpret=_interp
+                d_ok = d.ok
+                bpc = lambda lm: batched_back_pass_pallas(
+                    d, us, lm, o.regType, o.full_ddp, interpret=_interp
                 )
-                out = (bp, d.ok)
             else:
-                out = cm_derivs_back_pass(
+                # Emission ONCE; lambda retries below re-run only the
+                # kernel on the frozen bundle (iLQG.c:241-256 newDeriv).
+                sd_cm, fcx, fcxx, us_cm, d_ok, pad = cm_emit(
                     problem, xs, us, mult.mu_le, mult.mu_li,
-                    mult.mu_fe, mult.mu_fi, wld, wfd, lam, params_op,
-                    o.regType, o.full_ddp, interpret=_interp,
+                    mult.mu_fe, mult.mu_fi, wld, wfd, params_op,
+                    o.full_ddp,
                 )
+                bpc = lambda lm: cm_back_pass_from_bundle(
+                    sd_cm, fcx, fcxx, us_cm, lm, problem.n_x,
+                    o.regType, o.full_ddp, pad, interpret=_interp,
+                )
+            bp = bpc(lam)
+            if _inline_retry:
+                can = live & ~(new_deriv & ~d_ok)
+                bp, lam, dlam, n_att = _lam_retry_loop(
+                    bpc, bp, lam, dlam, can, o)
+            else:
+                n_att = _no_att(live)
+            out = (bp, d_ok, lam, dlam, n_att)
             out_batched = jax.tree_util.tree_map(lambda _: True, out)
             return out, out_batched
 
@@ -232,47 +319,73 @@ def _make_parts(problem: Problem, options: SolverOptions):
             raise ValueError("backpass_method='fused' supports n_u <= 3")
         _interp = jax.default_backend() != "tpu"
 
-        def _serial_derivs_bp(xs, us, mult, wld, wfd, lam, params):
+        def _serial_derivs_bp(xs, us, mult, wld, wfd, lam, dlam,
+                              new_deriv, live, params):
             d = calc_derivs(
                 problem, xs, us, params,
                 mult.mu_le, mult.mu_li, mult.mu_fe, mult.mu_fi,
                 wld, wfd, o.full_ddp,
             )
-            bp = back_pass(d, us, lam, o.regType, o.full_ddp, hyper,
-                           unroll=o.scan_unroll)
-            return bp, d.ok
+            bpc = lambda lm: back_pass(d, us, lm, o.regType, o.full_ddp,
+                                       hyper, unroll=o.scan_unroll)
+            bp = bpc(lam)
+            if _inline_retry:
+                can = live & ~(new_deriv & ~d.ok)
+                bp, lam, dlam, n_att = _lam_retry_loop(
+                    bpc, bp, lam, dlam, can, o)
+            else:
+                n_att = _no_att(live)
+            return bp, d.ok, lam, dlam, n_att
 
         @custom_batching.custom_vmap
-        def _run_derivs_bp(xs, us, mult, wld, wfd, lam, params):
+        def _run_derivs_bp(xs, us, mult, wld, wfd, lam, dlam,
+                           new_deriv, live, params):
             # Unbatched (per-instance) calls keep the XLA path.
-            return _serial_derivs_bp(xs, us, mult, wld, wfd, lam, params)
+            return _serial_derivs_bp(xs, us, mult, wld, wfd, lam, dlam,
+                                     new_deriv, live, params)
 
         @_run_derivs_bp.def_vmap
         def _fused_vmap_rule(axis_size, in_batched, *operands):
-            xs, us, mult, wld, wfd, lam, params_op = operands
-            xs_b, us_b, mult_b, wld_b, wfd_b, lam_b, params_b = in_batched
+            (xs, us, mult, wld, wfd, lam, dlam, new_deriv, live,
+             params_op) = operands
+            (xs_b, us_b, mult_b, wld_b, wfd_b, lam_b, dlam_b, nd_b,
+             live_b, params_b) = in_batched
 
             def bc(x, b):
                 return x if b else jnp.broadcast_to(
                     jnp.asarray(x)[None], (axis_size,) + jnp.shape(x)
                 )
 
-            xs, us, wld, wfd, lam = (
+            xs, us, wld, wfd, lam, dlam, new_deriv, live = (
                 bc(xs, xs_b), bc(us, us_b), bc(wld, wld_b),
-                bc(wfd, wfd_b), bc(lam, lam_b),
+                bc(wfd, wfd_b), bc(lam, lam_b), bc(dlam, dlam_b),
+                bc(new_deriv, nd_b), bc(live, live_b),
             )
             mult = jax.tree_util.tree_map(bc, mult, mult_b)
             if any(jax.tree_util.tree_leaves(params_b)):
                 params_bc = jax.tree_util.tree_map(bc, params_op, params_b)
                 out = jax.vmap(_serial_derivs_bp)(
-                    xs, us, mult, wld, wfd, lam, params_bc
+                    xs, us, mult, wld, wfd, lam, dlam, new_deriv, live,
+                    params_bc
                 )
             else:
-                out = fused_derivs_back_pass(
+                # The fused kernel re-derives the bundle in-VMEM per
+                # attempt (that is its design: the bundle never exists in
+                # memory), so a retry costs one full kernel execution --
+                # values are identical, inputs being unchanged.
+                bpc = lambda lm: fused_derivs_back_pass(
                     problem, xs, us, mult.mu_le, mult.mu_li,
-                    mult.mu_fe, mult.mu_fi, wld, wfd, lam, params_op,
+                    mult.mu_fe, mult.mu_fi, wld, wfd, lm, params_op,
                     o.regType, o.full_ddp, interpret=_interp,
                 )
+                bp, d_ok = bpc(lam)
+                if _inline_retry:
+                    can = live & ~(new_deriv & ~d_ok)
+                    bp, lam, dlam, n_att = _lam_retry_loop(
+                        lambda lm: bpc(lm)[0], bp, lam, dlam, can, o)
+                else:
+                    n_att = _no_att(live)
+                out = (bp, d_ok, lam, dlam, n_att)
             out_batched = jax.tree_util.tree_map(lambda _: True, out)
             return out, out_batched
 
@@ -435,6 +548,8 @@ def _make_parts(problem: Problem, options: SolverOptions):
             log_cost=jnp.zeros((max(o.max_iter, 1),), dtype),
             body_calls=jnp.asarray(0, jnp.int32),
             stale_calls=jnp.asarray(0, jnp.int32),
+            bp_retry_calls=jnp.asarray(0, jnp.int32),
+            was_bp_retry=jnp.asarray(False),
         )
 
     def body_fn(c: _Carry, params: Any) -> _Carry:
@@ -456,16 +571,19 @@ def _make_parts(problem: Problem, options: SolverOptions):
         w_pen_l_d = jnp.where(c.new_deriv, c.w_pen_l, c.w_pen_l_d)
         w_pen_f_d = jnp.where(c.new_deriv, c.w_pen_f, c.w_pen_f_d)
         # ===== STEP 2: backward pass + lambda escalation =====
-        # (iLQG.c:261-284).  ONE attempt per body call: a failed pass
-        # escalates lambda and the lane simply retries on the next call
-        # WITHOUT advancing its iteration counter -- per lane this produces
-        # the exact (lambda, back-pass) attempt sequence of the reference's
-        # inner retry while, but under vmap it avoids re-running the whole
-        # backward scan for every lane whenever ANY lane fails (the retry
-        # count of a batch is the max over lanes, not the sum).
+        # (iLQG.c:261-284).  lam_retry="inline": the reference's inner
+        # retry while runs HERE (around only the backward pass, frozen
+        # bundle) -- a retry costs one backward-pass execution.
+        # lam_retry="deferred": ONE attempt per body call; a failed pass
+        # escalates lambda and the lane retries on the next call WITHOUT
+        # advancing its iteration counter (same per-lane attempt sequence,
+        # but each retry re-pays derivative emission + masked line-search
+        # compute).
+        live = (~c.done) & (c.it < o.max_iter)
         if o.backpass_method in ("pallas", "fused"):
-            bp, d_ok = _run_derivs_bp(
-                c.xs, c.us, c.mult, w_pen_l_d, w_pen_f_d, c.lam, params
+            bp, d_ok, lam_r, dlam_r, n_att = _run_derivs_bp(
+                c.xs, c.us, c.mult, w_pen_l_d, w_pen_f_d, c.lam, c.dlam,
+                c.new_deriv, live, params
             )
         else:
             derivs = calc_derivs(
@@ -475,6 +593,15 @@ def _make_parts(problem: Problem, options: SolverOptions):
             )
             d_ok = derivs.ok
             bp = _run_back_pass(derivs, c.us, c.lam, hyper)
+            if _inline_retry:
+                can = live & ~(c.new_deriv & ~d_ok)
+                bp, lam_r, dlam_r, n_att = _lam_retry_loop(
+                    lambda lm: _run_back_pass(derivs, c.us, lm, hyper),
+                    bp, c.lam, c.dlam, can, o,
+                )
+            else:
+                lam_r, dlam_r = c.lam, c.dlam
+                n_att = jnp.zeros((), jnp.int32)
         derivs_failed = c.new_deriv & ~d_ok
         status = jnp.where(
             derivs_failed, jnp.asarray(sol.STATUS_DERIVS_FAILED, jnp.int32),
@@ -482,13 +609,25 @@ def _make_parts(problem: Problem, options: SolverOptions):
         )
         alive = ~derivs_failed
         new_deriv = jnp.asarray(False)
-        dlam_f = jnp.maximum(c.dlam * o.lambdaFactor, o.lambdaFactor)
-        lam_f = jnp.maximum(c.lam * dlam_f, o.lambdaMin)
-        bp_failed = alive & bp.failed
-        gave_up = bp_failed & (lam_f > o.lambdaMax)
-        retrying = bp_failed & ~gave_up
-        lam = jnp.where(bp_failed, lam_f, c.lam)
-        dlam = jnp.where(bp_failed, dlam_f, c.dlam)
+        if _inline_retry:
+            # The inner while exhausted the schedule: any still-failed lane
+            # has lambda escalated past lambdaMax => NO_DESCENT.
+            lam, dlam = lam_r, dlam_r
+            bp_failed = alive & bp.failed
+            gave_up = bp_failed
+            retrying = jnp.zeros_like(bp_failed)
+            bp_retry_calls = c.bp_retry_calls + n_att
+        else:
+            dlam_f = jnp.maximum(c.dlam * o.lambdaFactor, o.lambdaFactor)
+            lam_f = jnp.maximum(c.lam * dlam_f, o.lambdaMin)
+            bp_failed = alive & bp.failed
+            gave_up = bp_failed & (lam_f > o.lambdaMax)
+            retrying = bp_failed & ~gave_up
+            lam = jnp.where(bp_failed, lam_f, c.lam)
+            dlam = jnp.where(bp_failed, dlam_f, c.dlam)
+            bp_retry_calls = c.bp_retry_calls + processed * (
+                c.was_bp_retry & ~c.new_deriv
+            ).astype(jnp.int32)
         status = jnp.where(
             gave_up, jnp.asarray(sol.STATUS_NO_DESCENT, jnp.int32), status
         )
@@ -645,6 +784,8 @@ def _make_parts(problem: Problem, options: SolverOptions):
             log_cost=log_cost,
             body_calls=body_calls,
             stale_calls=stale_calls,
+            bp_retry_calls=bp_retry_calls,
+            was_bp_retry=retrying,
         )
 
     def finalize_fn(final: _Carry) -> Solution:
@@ -678,6 +819,7 @@ def _make_parts(problem: Problem, options: SolverOptions):
             log_cost=final.log_cost,
             body_calls=final.body_calls,
             stale_calls=final.stale_calls,
+            bp_retry_calls=final.bp_retry_calls,
         )
 
     return init_fn, body_fn, finalize_fn
