@@ -48,6 +48,18 @@ def main():
         "kernels on TPU; vmap-of-scan elsewhere)",
     )
     ap.add_argument(
+        "--lam-retry", default="deferred", choices=["inline", "deferred"],
+        help="lambda-escalation retry placement (A/B lever): deferred = "
+        "one attempt per body call (default; wins at production batch), "
+        "inline = reference's inner while around only the backward pass "
+        "(see SolverOptions.lam_retry)",
+    )
+    ap.add_argument(
+        "--per-family-derivs", action="store_true",
+        help="use the per-family derivative emitter instead of the "
+        "single-primal-trace one (A/B lever; affects pallas path only)",
+    )
+    ap.add_argument(
         "--compile-cache", action="store_true",
         help="enable the persistent XLA compile cache (slow on relayed "
         "TPU backends; see comment in main)",
@@ -117,6 +129,8 @@ def main():
         scan_unroll=args.unroll, backpass_method=backpass,
         linesearch_method=linesearch,
         linesearch_staged=not args.no_staged_ls,
+        lam_retry=args.lam_retry,
+        derivs_emitter="per-family" if args.per_family_derivs else "shared",
         # debug_level 0: the per-chunk status line costs a host round trip
         # per chunk inside the TIMED loop -- dominated wall time on the
         # relayed backend (~0.2 s/chunk of pure sync latency).  Re-enable

@@ -74,7 +74,7 @@ def batched_calc_derivs_cm(
     w_pen_l: Array,  # (B,)
     w_pen_f: Array,
     full_ddp: bool,
-    shared_primal: bool = True,
+    shared_primal: bool = False,
 ):
     """Batched ``calc_derivs`` with packed component-major output.
 
@@ -84,9 +84,9 @@ def batched_calc_derivs_cm(
     :func:`pallas_backpass.pallas_back_pass_cm`.
 
     ``shared_primal`` selects the single-primal-trace emitter
-    (:func:`pallas_fused.step_derivative_components_shared`, ~12x fewer
-    transcendental evaluations); ``False`` keeps the per-family original
-    for A/B measurement.
+    (:func:`pallas_fused.step_derivative_components_shared`); the default
+    per-family emitter is the v5e-measured winner by 12x -- see the
+    ``SolverOptions.derivs_emitter`` note.
     """
     from .pallas_fused import (
         final_derivative_components,
@@ -204,6 +204,7 @@ def cm_emit(
     w_pen_f: Array,
     params: Any,  # shared pytree
     full_ddp: bool,
+    shared_primal: bool = False,
 ):
     """Lane-pad to the TPU tile width and emit the packed CM bundle.
 
@@ -224,7 +225,7 @@ def cm_emit(
         )
     sd_cm, final_cx, final_cxx, ok = batched_calc_derivs_cm(
         problem, xs, us, params, mu_le, mu_li, mu_fe, mu_fi,
-        w_pen_l, w_pen_f, full_ddp,
+        w_pen_l, w_pen_f, full_ddp, shared_primal=shared_primal,
     )
     us_cm = jnp.transpose(us, (2, 1, 0))  # (n_u, N, B) component-outer
     if pad:

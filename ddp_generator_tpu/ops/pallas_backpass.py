@@ -492,7 +492,13 @@ def _pick_blocks(N: int, B: int, comps: int, itemsize: int,
     bts = [B]
     while bts[-1] % 2 == 0 and bts[-1] > 128:
         bts.append(bts[-1] // 2)
-    ss = [s_force] if s_force is not None else range(1, min(N, 16) + 1)
+    # Auto-S restricted to powers of two <= 8 (one sublane tile): measured
+    # on v5e at B=2048/N=500, S=16 forces smaller batch tiles under the
+    # VMEM budget and loses (4.26 ms vs S=4's 2.96 ms), and non-power-of-2
+    # S is slower even with fewer grid steps (S=5: 4.32, S=10: 4.28 ms vs
+    # S=4: 2.96; S=1: 3.17, S=2: 3.03).  A user time_block is honored
+    # verbatim.
+    ss = [s_force] if s_force is not None else [1, 2, 4, 8]
     for s in ss:
         if N % s:
             continue

@@ -279,11 +279,14 @@ def step_derivative_components_shared(
     The per-family version evaluates the user's nonlinear ``f``/``L`` once
     per ``jax.linearize`` family (~13 times for a FULL_DDP 4x2 problem) and
     XLA does not CSE the duplicated transcendentals across families: the
-    compiled CarParking emission carried ~183 sin/cos evaluations per
-    (step, lane) where the symbolic reference needs ~15 (the Maxima
-    ``optimize`` CSE of the generated code, ``genenerator_main.mac``).  At
-    production shapes the emission is transcendental-throughput-bound, so
-    that redundancy is the dominant cost.
+    compiled CarParking emission carries ~183 sin/cos instructions per
+    (step, lane) vs ~57 here.  **Measured outcome on TPU (v5e, B=2048,
+    N=500): the per-family version wins by 12x anyway** (0.91 ms -- the
+    bundle write-bandwidth floor -- vs 10.8 ms): the emission is
+    HBM-write-bound, not transcendental-bound, and this vmapped-linearize
+    tower lowers to layouts XLA schedules far worse than the straight-line
+    per-family code.  Kept as a documented negative result and CPU-path
+    A/B (``SolverOptions.derivs_emitter="shared"``).
 
     Here the nonlinear functions are traced ONCE:
 

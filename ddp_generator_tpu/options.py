@@ -109,14 +109,33 @@ class SolverOptions:
     # Where lambda-escalation retries run (the reference's inner while,
     # iLQG.c:261-284: a failed backward pass escalates lambda and re-runs
     # ONLY the backward pass on the unchanged derivative bundle):
-    # "inline": a while_loop around the backward pass inside one iteration
-    #   body -- a retry costs one extra backward-pass execution;
-    # "deferred": a failed pass returns to the outer loop and the retry is
-    #   the NEXT body call -- the retry re-pays derivative emission and
-    #   masked line-search compute (~a full body, measured 40.7% of body
-    #   calls on the CarParking bench).
+    # "deferred" (default): a failed pass returns to the outer loop and the
+    #   retry is the NEXT body call.  The retry re-pays derivative emission
+    #   and masked line-search compute, BUT retries of different lanes
+    #   overlap in the same call -- measured 40.7% of CarParking bench body
+    #   calls are such retries, yet this still wins at production batch:
+    #   682 vs 501 solves/s (B=2048, v5e, back-to-back A/B).
+    # "inline": a while_loop around only the backward pass inside one
+    #   body call.  Loses at large batch because escalation ladders are
+    #   DEEP (lambda decays toward lambdaMin on accepts, so a failing lane
+    #   climbs many rungs) and the batch-wide loop runs max-over-lanes
+    #   rungs at one kernel execution each while every other lane waits.
+    #   The right choice for unbatched / small-batch solves, where it is
+    #   exactly the reference's control flow.
     # Per-lane (lambda, attempt) sequences and results are identical.
-    lam_retry: str = "inline"
+    lam_retry: str = "deferred"
+    # Derivative-bundle emitter for the batched pallas path (shared
+    # params): "per-family" = one linearize family per derivative object;
+    # "shared" = single-primal-trace emission
+    # (pallas_fused.step_derivative_components_shared).  Values are
+    # bit-identical; this is purely a scheduling choice.  Counterintuitive
+    # MEASURED result (v5e, B=2048, N=500): per-family runs at the bundle
+    # write-bandwidth floor (0.91 ms) while "shared" -- despite 3x fewer
+    # transcendental instructions in the compiled HLO -- is 12x slower
+    # (10.8 ms): the vmapped-linearize tower lowers to layouts Mosaic/XLA
+    # schedule far worse than the straight-line per-family code, and the
+    # emission was never transcendental-bound on TPU in the first place.
+    derivs_emitter: str = "per-family"
     # lax.scan unroll factor for the horizon sweeps (rollout + backward
     # pass); >1 trades compile time for less loop overhead on TPU.
     scan_unroll: int = 1
@@ -174,6 +193,8 @@ class SolverOptions:
             raise OptionError("linesearch_method must be serial|pallas")
         if self.lam_retry not in ("inline", "deferred"):
             raise OptionError("lam_retry must be inline|deferred")
+        if self.derivs_emitter not in ("shared", "per-family"):
+            raise OptionError("derivs_emitter must be shared|per-family")
 
     @property
     def n_alpha(self) -> int:
@@ -198,7 +219,7 @@ def options_from_dict(d: dict) -> SolverOptions:
             value = int(value)
         elif name in ("full_ddp", "linesearch_staged"):
             value = bool(value)
-        elif name in ("dtype", "lam_retry", "boxqp_method",
+        elif name in ("dtype", "lam_retry", "derivs_emitter", "boxqp_method",
                       "backpass_method", "linesearch_method"):
             value = str(value)
         elif name in ("boxqp_min_grad", "boxqp_min_rel_improve"):

@@ -292,6 +292,7 @@ def _make_parts(problem: Problem, options: SolverOptions):
                     problem, xs, us, mult.mu_le, mult.mu_li,
                     mult.mu_fe, mult.mu_fi, wld, wfd, params_op,
                     o.full_ddp,
+                    shared_primal=o.derivs_emitter == "shared",
                 )
                 bpc = lambda lm: cm_back_pass_from_bundle(
                     sd_cm, fcx, fcxx, us_cm, lm, problem.n_x,
