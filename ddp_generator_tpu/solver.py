@@ -913,7 +913,7 @@ class StepwiseSolver:
         min_compact_batch: int = 128,
         mesh=None,
         mesh_axis: str = "batch",
-        pipeline_depth: int = 3,
+        pipeline_depth: int = 1,
     ):
         """``mesh``: optional 1-D ``jax.sharding.Mesh``.  When given, the
         batch axis of every heavy program (init / chunk-of-iterations /
@@ -935,21 +935,8 @@ class StepwiseSolver:
         o = options
         init_fn, body_fn, finalize_fn = _make_parts(problem, options)
 
-        def chunk_fn(carry: _Carry, params):
-            def cond(s):
-                i, c = s
-                return (i < chunk) & (~c.done) & (c.it < o.max_iter)
-
-            def body(s):
-                i, c = s
-                return i + 1, body_fn(c, params)
-
-            _, out = lax.while_loop(cond, body, (jnp.asarray(0, jnp.int32), carry))
-            return out
-
         p_axis = 0 if batch_params else None
         init_v = jax.vmap(init_fn, in_axes=(0, 0, p_axis))
-        chunk_v = jax.vmap(chunk_fn, in_axes=(0, p_axis))
         fin_v = jax.vmap(finalize_fn)
 
         if mesh is not None:
@@ -963,10 +950,6 @@ class StepwiseSolver:
                 init_v, mesh=mesh, in_specs=(pb, pb, pp), out_specs=pb,
                 check_rep=False,
             )
-            chunk_v = shard_map(
-                chunk_v, mesh=mesh, in_specs=(pb, pp), out_specs=pb,
-                check_rep=False,
-            )
             fin_v = shard_map(
                 fin_v, mesh=mesh, in_specs=(pb,), out_specs=pb,
                 check_rep=False,
@@ -974,10 +957,52 @@ class StepwiseSolver:
         else:
             self._n_shards = 1
 
+        def make_chunk(chunk_len: int):
+            def chunk_fn(carry: _Carry, params):
+                def cond(s):
+                    i, c = s
+                    return (i < chunk_len) & (~c.done) & (c.it < o.max_iter)
+
+                def body(s):
+                    i, c = s
+                    return i + 1, body_fn(c, params)
+
+                _, out = lax.while_loop(
+                    cond, body, (jnp.asarray(0, jnp.int32), carry)
+                )
+                return out
+
+            cv = jax.vmap(chunk_fn, in_axes=(0, p_axis))
+            if mesh is not None:
+                from jax.experimental.shard_map import shard_map
+                from jax.sharding import PartitionSpec as P
+
+                cv = shard_map(
+                    cv, mesh=mesh, in_specs=(P(mesh_axis), pp),
+                    out_specs=P(mesh_axis), check_rep=False,
+                )
+
+            def chunk_and_count(carry, params):
+                # Active count computed in the SAME program (on the global
+                # carry, after any shard_map): every host dispatch is
+                # ~tens of ms of serialized RPC on relayed backends, so a
+                # separate _active call per chunk doubled the loop's
+                # dispatch bill.
+                out = cv(carry, params)
+                act = jnp.sum(
+                    ((~out.done) & (out.it < o.max_iter)).astype(jnp.int32)
+                )
+                return out, act
+
+            return jax.jit(chunk_and_count,
+                           donate_argnums=(0,) if donate else ())
+
+        self._chunk_cache: dict = {}
+        self._make_chunk = make_chunk
+
         self._init = jax.jit(init_v)
-        self._chunk = jax.jit(
-            chunk_v, donate_argnums=(0,) if donate else ()
-        )
+        # Back-compat handle (fixed-length chunk program at the base length).
+        self._chunk = self._chunk_for(chunk)
         self._finalize = jax.jit(fin_v)
         self._active = jax.jit(
             lambda c: jnp.sum(((~c.done) & (c.it < o.max_iter)).astype(jnp.int32))
@@ -1021,6 +1046,28 @@ class StepwiseSolver:
             ),
             donate_argnums=(0,),
         )
+
+    def _chunk_for(self, chunk_len: int):
+        f = self._chunk_cache.get(chunk_len)
+        if f is None:
+            f = self._make_chunk(chunk_len)
+            self._chunk_cache[chunk_len] = f
+        return f
+
+    def _chunk_len(self, size: int, B0: int) -> int:
+        """Iterations per device call at working-set width ``size``.
+
+        Scales INVERSELY with width (capped 16x): early full-width chunks
+        are device-time-bound, but once compaction shrinks the working set
+        the device time per chunk drops ~linearly while the host dispatch
+        round trip (tens of ms on relayed backends) does not -- the tail
+        of a solve was 17 of 33 dispatches on the bench.  A longer chunk
+        at small width keeps device time per dispatch roughly constant,
+        and costs nothing when lanes finish early: the in-chunk while
+        exits as soon as every lane is done, so an oversized chunk never
+        burns masked iterations.
+        """
+        return self.chunk * max(1, min(B0 // max(size, 1), 16))
 
     def _compact_sizes(self, B: int):
         """Working-set sizes this batch can shrink through (largest first)."""
@@ -1070,9 +1117,12 @@ class StepwiseSolver:
         sizes = self._compact_sizes(B)
         for s in sizes:
             # NB: fresh zero carries per task -- _chunk donates its input.
+            # Each compaction width runs its own chunk LENGTH (see
+            # _chunk_len), hence its own program.
+            cf = self._chunk_for(self._chunk_len(s, B))
             tasks.append(
-                lambda s=s: self._chunk(zeros_like_sd(carry_sd, s),
-                                        sub_params(s))
+                lambda s=s, cf=cf: cf(zeros_like_sd(carry_sd, s),
+                                      sub_params(s))
             )
         carry0 = zeros_like_sd(carry_sd, B)
         tasks.append(lambda: self._finalize(carry0))
@@ -1148,8 +1198,9 @@ class StepwiseSolver:
 
         pending = deque()  # device scalars: active counts of past chunks
         for chunk_i in range(n_calls):
-            small = self._chunk(small, cur_params)
-            act_dev = self._active(small)
+            small, act_dev = self._chunk_for(self._chunk_len(size, B))(
+                small, cur_params
+            )
             if o.debug_level >= 1:
                 import sys as _sys
 
@@ -1209,7 +1260,7 @@ def make_stepwise_solver(
     chunk: int = 10,
     batch_params: bool = False,
     mesh=None,
-    pipeline_depth: int = 3,
+    pipeline_depth: int = 1,
 ) -> StepwiseSolver:
     return StepwiseSolver(problem, options, chunk=chunk,
                           batch_params=batch_params, mesh=mesh,

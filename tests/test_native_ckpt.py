@@ -101,14 +101,14 @@ def test_solver_carry_checkpoint_resume(tmp_path):
     s = ddp.StepwiseSolver(prob, opts, chunk=5, donate=False)
 
     carry = s._init(x0s, u0s, p)
-    carry = s._chunk(carry, p)  # 5 iterations
+    carry, _ = s._chunk(carry, p)  # 5 iterations
     ckpt = str(tmp_path / "carry.ddpt")
     save_pytree(ckpt, carry)
 
     # resume: restore into a fresh carry structure and continue
     carry2 = load_pytree(ckpt, carry)
     while int(s._active(carry2)) > 0:
-        carry2 = s._chunk(carry2, p)
+        carry2, _ = s._chunk(carry2, p)
     sol_resumed = s._finalize(carry2)
 
     # uninterrupted run for comparison
