@@ -55,7 +55,13 @@ def main():
     # ---------------- machine ceilings (measured) ----------------
     # NB: operands enter as jit ARGUMENTS -- closed-over constants let XLA
     # unroll + constant-fold the whole timing loop away.
-    def timeK(fn, reps=3):
+    # The ceiling probes use their OWN rep count: each timed call pays one
+    # host<->device sync (~25 ms on relayed backends), so at small K the
+    # probe measures tunnel latency, not the chip (observed: 80 GB/s
+    # "bandwidth" at K=20 and ops measuring below their floors).
+    KC = max(K, 400)
+
+    def timeK(fn, reps=3, k=None):
         out = fn()
         np.asarray(out)
         best = np.inf
@@ -64,7 +70,7 @@ def main():
             out = fn()
             np.asarray(out)
             best = min(best, time.time() - t0)
-        return best / K
+        return best / (K if k is None else k)
 
     rng0 = np.random.default_rng(0)
 
@@ -80,9 +86,9 @@ def main():
     def copy_chain(a0):
         def body(i, a):
             return a + 1.0  # read + write 64 MB
-        return lax.fori_loop(0, K, body, a0).sum()
+        return lax.fori_loop(0, KC, body, a0).sum()
 
-    t_copy = timeK(lambda: copy_chain(big))
+    t_copy = timeK(lambda: copy_chain(big), k=KC)
     bw = 2 * big.size * fsize / t_copy  # bytes/s (read+write)
     log(f"measured HBM stream bandwidth: {bw/1e9:.0f} GB/s")
 
@@ -99,9 +105,9 @@ def main():
             for _ in range(C):
                 x = x * 1.000000119 + 1e-7
             return x
-        return lax.fori_loop(0, K, body, v0).sum()
+        return lax.fori_loop(0, KC, body, v0).sum()
 
-    t_fma = timeK(lambda: fma_chain(vec))
+    t_fma = timeK(lambda: fma_chain(vec), k=KC)
     fma_rate = 2 * C * vec.size / t_fma  # FLOP/s (mul+add = 2)
     log(f"measured elementwise VPU rate: {fma_rate/1e12:.2f} TFLOP/s")
 
@@ -115,9 +121,9 @@ def main():
             for _ in range(CT):
                 x = jnp.arctan(jnp.tan(x * 0.999))
             return x
-        return lax.fori_loop(0, K, body, v0).sum()
+        return lax.fori_loop(0, KC, body, v0).sum()
 
-    t_trans = timeK(lambda: trans_chain(vec * 0.5))
+    t_trans = timeK(lambda: trans_chain(vec * 0.5), k=KC)
     trans_rate = 2 * CT * vec.size / t_trans  # transcendental-evals/s
     log(f"measured transcendental rate: {trans_rate/1e9:.1f} Geval/s "
         f"(tan/atan class)")
