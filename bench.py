@@ -38,9 +38,13 @@ def main():
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     ap.add_argument("--unroll", type=int, default=1, help="horizon scan unroll")
     ap.add_argument(
-        "--backpass", default=None, choices=["serial", "pallas"],
+        "--backpass", default=None,
+        choices=["serial", "pallas", "fused", "parallel"],
         help="backward-pass implementation (default: pallas on TPU — the "
-        "streamed component-major bundle kernel; serial scan elsewhere)",
+        "streamed component-major bundle kernel; serial scan elsewhere). "
+        "fused = derivs computed in-kernel (documented negative result); "
+        "parallel = associative-scan Riccati (unconstrained problems only "
+        "— NOT CarParking; use for A/B on other workloads)",
     )
     ap.add_argument(
         "--linesearch", default=None, choices=["serial", "pallas"],
@@ -55,9 +59,10 @@ def main():
         "(see SolverOptions.lam_retry)",
     )
     ap.add_argument(
-        "--per-family-derivs", action="store_true",
-        help="use the per-family derivative emitter instead of the "
-        "single-primal-trace one (A/B lever; affects pallas path only)",
+        "--shared-derivs", action="store_true",
+        help="A/B lever: use the single-primal-trace derivative emitter "
+        "instead of the default per-family one (measured 12x slower at "
+        "emission, BASELINE.md round 4; affects pallas path only)",
     )
     ap.add_argument(
         "--compile-cache", action="store_true",
@@ -130,7 +135,7 @@ def main():
         linesearch_method=linesearch,
         linesearch_staged=not args.no_staged_ls,
         lam_retry=args.lam_retry,
-        derivs_emitter="per-family" if args.per_family_derivs else "shared",
+        derivs_emitter="shared" if args.shared_derivs else "per-family",
         # debug_level 0: the per-chunk status line costs a host round trip
         # per chunk inside the TIMED loop -- dominated wall time on the
         # relayed backend (~0.2 s/chunk of pure sync latency).  Re-enable
@@ -209,13 +214,20 @@ def main():
     exhausted = status == 7
     stale_frac = stale_calls.sum() / max(body_calls.sum(), 1)
     retry_frac = bp_retry_calls.sum() / max(body_calls.sum(), 1)
+    if args.lam_retry == "deferred":
+        # bp_retry_calls is a subset of stale_calls only in deferred mode;
+        # in inline mode it counts inner-while kernel attempts (not body
+        # calls), so the stale split below would be meaningless there.
+        split = (f"(lambda-retry {retry_frac*100:.1f}% / LS-reject "
+                 f"{(stale_frac-retry_frac)*100:.1f}%) ")
+    else:
+        split = f"(inline kernel retry attempts: {bp_retry_calls.sum()}) "
     log(
         f"batch={B} wall={dt:.3f}s success={succ.mean()*100:.1f}% "
         f"solved={solved.mean()*100:.1f}% exhausted={exhausted.mean()*100:.1f}% "
         f"iters: mean={iters.mean():.1f} max={iters.max()} "
         f"body calls: mean={body_calls.mean():.1f} stale={stale_frac*100:.1f}% "
-        f"(lambda-retry {retry_frac*100:.1f}% / LS-reject "
-        f"{(stale_frac-retry_frac)*100:.1f}%) "
+        + split +
         f"cost: mean={costs.mean():.4f} median={np.median(costs):.4f}"
     )
 

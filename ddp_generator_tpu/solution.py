@@ -54,10 +54,13 @@ class Solution(NamedTuple):
     # derivative work a newDeriv gate could save.
     body_calls: Array  # int32
     stale_calls: Array  # int32
-    # Split of stale_calls: stale calls entered from a lambda-escalation
-    # retry (previous call's backward pass failed, iLQG.c:261-284) vs from
-    # a line-search reject (iLQG.c:340-361).  The two have different
-    # remedies: bp-retries could re-run only the backward pass in-body,
-    # LS-rejects genuinely need backpass + line search again (only the
-    # derivative re-emission is waste).
+    # lam_retry="deferred" (default): split of stale_calls -- stale calls
+    # entered from a lambda-escalation retry (previous call's backward pass
+    # failed, iLQG.c:261-284) vs from a line-search reject (iLQG.c:340-361).
+    # The two have different remedies: bp-retries could re-run only the
+    # backward pass in-body, LS-rejects genuinely need backpass + line
+    # search again (only the derivative re-emission is waste).
+    # lam_retry="inline": counts inner-while kernel ATTEMPTS instead
+    # (solver._lam_retry_loop) -- not body calls and NOT a subset of
+    # stale_calls, so don't difference the two in that mode.
     bp_retry_calls: Array  # int32

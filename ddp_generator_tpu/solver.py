@@ -612,10 +612,16 @@ def _make_parts(problem: Problem, options: SolverOptions):
         new_deriv = jnp.asarray(False)
         if _inline_retry:
             # The inner while exhausted the schedule: any still-failed lane
-            # has lambda escalated past lambdaMax => NO_DESCENT.
+            # has lambda escalated past lambdaMax => NO_DESCENT.  The extra
+            # `live` mask is defensive: a retired lane (done / out of
+            # budget) must never have its status overwritten -- the vmapped
+            # while_loop batching rule happens to freeze such lanes'
+            # carries, but the masked-update convention must not lean on
+            # that non-local invariant (semantics unchanged: lanes leaving
+            # _lam_retry_loop still failed are guaranteed lam > lambdaMax).
             lam, dlam = lam_r, dlam_r
             bp_failed = alive & bp.failed
-            gave_up = bp_failed
+            gave_up = bp_failed & live
             retrying = jnp.zeros_like(bp_failed)
             bp_retry_calls = c.bp_retry_calls + n_att
         else:
@@ -940,7 +946,7 @@ class StepwiseSolver:
         fin_v = jax.vmap(finalize_fn)
 
         if mesh is not None:
-            from jax.experimental.shard_map import shard_map
+            from jax import shard_map
             from jax.sharding import PartitionSpec as P
 
             self._n_shards = mesh.devices.size
@@ -948,11 +954,11 @@ class StepwiseSolver:
             pp = pb if batch_params else P()
             init_v = shard_map(
                 init_v, mesh=mesh, in_specs=(pb, pb, pp), out_specs=pb,
-                check_rep=False,
+                check_vma=False,
             )
             fin_v = shard_map(
                 fin_v, mesh=mesh, in_specs=(pb,), out_specs=pb,
-                check_rep=False,
+                check_vma=False,
             )
         else:
             self._n_shards = 1
@@ -973,26 +979,40 @@ class StepwiseSolver:
                 return out
 
             cv = jax.vmap(chunk_fn, in_axes=(0, p_axis))
+
+            # Active count computed in the SAME program as the chunk: every
+            # host dispatch is ~tens of ms of serialized RPC on relayed
+            # backends, so a separate _active call per chunk doubled the
+            # loop's dispatch bill.  Under a mesh the count is a per-shard
+            # partial + scalar psum INSIDE the shard_map'd program -- the
+            # only collective the chunk program is allowed to contain (the
+            # precise invariant asserted by test_mesh_stepwise: any
+            # all-reduce operand must be a scalar; never a gather of the
+            # carry/bundle).
+            def _count(c):
+                return jnp.sum(
+                    ((~c.done) & (c.it < o.max_iter)).astype(jnp.int32)
+                )
+
             if mesh is not None:
-                from jax.experimental.shard_map import shard_map
+                from jax import shard_map
                 from jax.sharding import PartitionSpec as P
 
-                cv = shard_map(
-                    cv, mesh=mesh, in_specs=(P(mesh_axis), pp),
-                    out_specs=P(mesh_axis), check_rep=False,
-                )
+                def chunk_and_count_local(carry, params):
+                    out = cv(carry, params)
+                    act = lax.psum(_count(out), mesh_axis)
+                    return out, act
 
-            def chunk_and_count(carry, params):
-                # Active count computed in the SAME program (on the global
-                # carry, after any shard_map): every host dispatch is
-                # ~tens of ms of serialized RPC on relayed backends, so a
-                # separate _active call per chunk doubled the loop's
-                # dispatch bill.
-                out = cv(carry, params)
-                act = jnp.sum(
-                    ((~out.done) & (out.it < o.max_iter)).astype(jnp.int32)
+                chunk_and_count = shard_map(
+                    chunk_and_count_local, mesh=mesh,
+                    in_specs=(P(mesh_axis), pp),
+                    out_specs=(P(mesh_axis), P()),
+                    check_vma=False,
                 )
-                return out, act
+            else:
+                def chunk_and_count(carry, params):
+                    out = cv(carry, params)
+                    return out, _count(out)
 
             return jax.jit(chunk_and_count,
                            donate_argnums=(0,) if donate else ())

@@ -63,6 +63,62 @@ def test_batched_instances_diverge_independently(car_small):
     assert len(np.unique(iters)) > 1  # genuinely divergent control flow
 
 
+@pytest.mark.parametrize("backpass", ["serial", "pallas"])
+def test_lam_retry_inline_matches_deferred(backpass):
+    """lam_retry='inline' (reference inner while, iLQG.c:261-284) and
+    'deferred' (one attempt per body call) must give identical per-lane
+    results -- same lambda/attempt sequences, different scheduling.  The
+    workload is chosen to actually hit lambda-escalation retries."""
+    prob = car_parking.car_parking()
+    p, x0, _ = car_parking.default_setup(T=40)
+    rng = np.random.default_rng(11)
+    B, T = 8, 40
+    x0s = np.tile(np.asarray(x0), (B, 1))
+    u0s = 2.0 * rng.standard_normal((B, T, 2))  # aggressive: triggers retries
+    kw = dict(max_iter=25, backpass_method=backpass)
+    if backpass == "pallas":
+        kw["linesearch_method"] = "pallas"
+    sol_d = ddp.make_batched_solver(
+        prob, ddp.SolverOptions(lam_retry="deferred", **kw))(x0s, u0s, p)
+    sol_i = ddp.make_batched_solver(
+        prob, ddp.SolverOptions(lam_retry="inline", **kw))(x0s, u0s, p)
+    # The deferred run must actually exercise the retry path.
+    assert int(np.asarray(sol_d.bp_retry_calls).sum()) > 0
+    np.testing.assert_array_equal(np.asarray(sol_d.status),
+                                  np.asarray(sol_i.status))
+    np.testing.assert_array_equal(np.asarray(sol_d.iterations),
+                                  np.asarray(sol_i.iterations))
+    np.testing.assert_allclose(np.asarray(sol_d.cost),
+                               np.asarray(sol_i.cost), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(sol_d.lam),
+                               np.asarray(sol_i.lam), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(sol_d.us),
+                               np.asarray(sol_i.us), atol=1e-12)
+
+
+def test_derivs_emitter_shared_matches_per_family():
+    """The shared-primal-trace and per-family CM emitters are two codegen
+    strategies for the SAME bundle; results agree to roundoff (per-family
+    is the measured-12x-faster default, BASELINE.md round 4)."""
+    prob = car_parking.car_parking()
+    p, x0, _ = car_parking.default_setup(T=40)
+    x0s, u0s = _batch_inputs(x0, 8, 40, seed=5)
+    kw = dict(max_iter=20, backpass_method="pallas",
+              linesearch_method="pallas")
+    sol_pf = ddp.make_batched_solver(
+        prob, ddp.SolverOptions(derivs_emitter="per-family", **kw))(
+        x0s, u0s, p)
+    sol_sh = ddp.make_batched_solver(
+        prob, ddp.SolverOptions(derivs_emitter="shared", **kw))(
+        x0s, u0s, p)
+    np.testing.assert_array_equal(np.asarray(sol_pf.status),
+                                  np.asarray(sol_sh.status))
+    np.testing.assert_allclose(np.asarray(sol_pf.cost),
+                               np.asarray(sol_sh.cost), rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(sol_pf.us),
+                               np.asarray(sol_sh.us), atol=1e-7)
+
+
 def test_sharded_solver_runs_on_mesh():
     assert len(jax.devices()) == 8, "conftest must provide 8 CPU devices"
     prob = brachistochrone.brachistochrone()

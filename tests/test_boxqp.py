@@ -194,3 +194,22 @@ def test_boxqp_hyper_auto_sentinel():
         ddp.SolverOptions(boxqp_min_grad="bogus")
     with _pytest.raises(ddp.OptionError):
         ddp.SolverOptions(boxqp_min_grad=-1.0)
+
+
+def test_kernel_backpass_rejects_unsupported_boxqp_options():
+    """The Pallas/fused kernels' in-kernel boxQP never consumes
+    use_mod_chol or the projected-Newton iteration; identical options must
+    not silently mean different algorithms at B=1 vs B>1 (boxQP.c:69-72)."""
+    import pytest as _pytest
+
+    import ddp_generator_tpu as ddp
+
+    for method in ("pallas", "fused"):
+        with _pytest.raises(ddp.OptionError):
+            ddp.SolverOptions(backpass_method=method, use_mod_chol=True)
+        with _pytest.raises(ddp.OptionError):
+            ddp.SolverOptions(backpass_method=method, boxqp_method="newton")
+    # Still allowed: serial keeps both; kernels keep auto/enumerate.
+    ddp.SolverOptions(backpass_method="serial", use_mod_chol=True,
+                      boxqp_method="newton")
+    ddp.SolverOptions(backpass_method="pallas", boxqp_method="enumerate")

@@ -11,6 +11,8 @@ different shard widths differs by ~1 ulp on CPU (fma contraction), so cost
 comparisons use rtol=1e-12 while integer observables must match exactly.
 """
 
+import re
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -57,9 +59,12 @@ def test_mesh_stepwise_matches_unmeshed_production_config():
 
 
 def test_mesh_chunk_program_has_no_collectives():
-    """The per-chunk device program must be embarrassingly parallel: no
-    all-gather/all-reduce/all-to-all of the batch (the round-2 concern was
-    GSPMD gathering the (N, C, B) bundle onto one device)."""
+    """The per-chunk device program must be embarrassingly parallel over the
+    batch: no all-gather/all-to-all/collective-permute (the round-2 concern
+    was GSPMD gathering the (N, C, B) bundle onto one device).  The ONE
+    allowed collective is the fused active-lane count -- a scalar integer
+    all-reduce (per-shard partial + psum inside the shard_map'd program);
+    any all-reduce with a non-scalar operand is a regression."""
     problem, p, x0s, u0s = _workload()
     o = _bench_options()
     mesh = make_mesh()
@@ -69,9 +74,14 @@ def test_mesh_chunk_program_has_no_collectives():
         lambda sd: jnp.zeros(sd.shape, sd.dtype), carry_sd
     )
     txt = s._chunk.lower(carry0, p).compile().as_text()
-    for coll in ("all-gather", "all-reduce", "all-to-all",
-                 "collective-permute"):
+    for coll in ("all-gather", "all-to-all", "collective-permute"):
         assert coll not in txt, f"chunk program contains {coll}"
+    # Every all-reduce must produce a scalar integer (the active count).
+    for m in re.finditer(r"=\s*(\S+?)\s+all-reduce(?:-start|-done)?\(", txt):
+        ty = m.group(1)
+        assert re.fullmatch(r"\(?[su]\d+\[\]\)?", ty), (
+            f"chunk program contains a non-scalar all-reduce: {ty}"
+        )
 
 
 def test_mesh_precompile_then_solve():

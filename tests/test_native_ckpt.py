@@ -80,6 +80,9 @@ def test_pytree_roundtrip(tmp_path):
     }
     out = load_pytree(p, like)
     np.testing.assert_array_equal(out["xs"], np.ones((4, 3)))
+    # 0-d scalars must roundtrip as 0-d (np.ascontiguousarray used to
+    # promote them to shape (1,), which also made int() a DeprecationWarning)
+    assert np.shape(out["nested"]["it"]) == ()
     assert int(out["nested"]["it"]) == 7
 
 

@@ -78,6 +78,29 @@ def test_smoke_mesh_stepwise():
     assert (np.asarray(got.status) == np.asarray(want.status)).all()
 
 
+def test_smoke_mesh_chunk_scalar_collective_only():
+    # Compile-only (seconds): the mesh chunk program's ONLY collective is
+    # the scalar-integer active-count all-reduce.  Round 4 shipped with the
+    # covering test for this invariant red because it wasn't in the smoke
+    # gate; it is now.
+    import re
+
+    problem, p, x0s, u0s = _car(B=8)
+    o = ddp.SolverOptions(
+        max_iter=6, backpass_method="pallas", linesearch_method="pallas",
+        debug_level=0)
+    s = ddp.StepwiseSolver(problem, o, chunk=3, mesh=make_mesh())
+    carry_sd = jax.eval_shape(s._init, x0s, u0s, p)
+    carry0 = jax.tree_util.tree_map(
+        lambda sd: jnp.zeros(sd.shape, sd.dtype), carry_sd)
+    txt = s._chunk.lower(carry0, p).compile().as_text()
+    for coll in ("all-gather", "all-to-all", "collective-permute"):
+        assert coll not in txt, f"chunk program contains {coll}"
+    for m in re.finditer(r"=\s*(\S+?)\s+all-reduce(?:-start|-done)?\(", txt):
+        assert re.fullmatch(r"\(?[su]\d+\[\]\)?", m.group(1)), (
+            f"non-scalar all-reduce: {m.group(1)}")
+
+
 def test_smoke_boxqp():
     # Projected-Newton boxQP (boxQP.c semantics): clamp + free solve.
     H = jnp.asarray([[2.0, 0.0], [0.0, 2.0]])
