@@ -418,6 +418,10 @@ class _LSCtx:
         self.wpf = w_pen_f[None, :]
         self.dV = dV
         self.cost = cost
+        # Padded batch-major nominals: the staged search's all-dead fast
+        # path returns them untouched (no rollout at all).
+        self.xs_nom_p = xs_nom
+        self.us_nom_p = us_nom
 
     def call(self, problem, alphas, params, alpha_vec, multi, interpret,
              want_cost=False, time_block=None):
@@ -566,69 +570,90 @@ def pallas_line_search_staged(
             [alive, jnp.zeros((ctx.pad,), bool)], axis=0
         ) if ctx.pad else alive
 
-    # ---- stage 1: alpha[0] only, with trajectory and total cost ----
-    a0 = float(alphas[0])
-    alpha0_vec = jnp.full((1, Bp), a0, dtype)
-    xs0, xf0, us0, cost0, ok0 = ctx.call(
-        problem, alphas, params, alpha0_vec, multi=False,
-        interpret=interpret, want_cost=True,
-    )
-    cost0, ok0 = cost0[0], ok0[0]
-    dcost0 = ctx.cost - cost0
-    expected0 = -a0 * (ctx.dV[:, 0] + a0 * ctx.dV[:, 1])
-    z0 = jnp.where(
-        expected0 > 0.0, dcost0 / jnp.where(expected0 > 0.0, expected0, 1.0),
-        0.0,
-    )
-    acc0 = (ok0 > 0.5) & (z0 > z_min)
-    need_sweep = jnp.any(alive_p & ~acc0)
+    def live_path(_):
+        # ---- stage 1: alpha[0] only, with trajectory and total cost ----
+        a0 = float(alphas[0])
+        alpha0_vec = jnp.full((1, Bp), a0, dtype)
+        xs0, xf0, us0, cost0, ok0 = ctx.call(
+            problem, alphas, params, alpha0_vec, multi=False,
+            interpret=interpret, want_cost=True,
+        )
+        cost0, ok0 = cost0[0], ok0[0]
+        dcost0 = ctx.cost - cost0
+        expected0 = -a0 * (ctx.dV[:, 0] + a0 * ctx.dV[:, 1])
+        z0 = jnp.where(
+            expected0 > 0.0,
+            dcost0 / jnp.where(expected0 > 0.0, expected0, 1.0),
+            0.0,
+        )
+        acc0 = (ok0 > 0.5) & (z0 > z_min)
+        need_sweep = jnp.any(alive_p & ~acc0)
 
-    def quick_path(_):
-        xs_out, us_out = _traj_out(xs0, xf0, us0)
+        def quick_path(_):
+            xs_out, us_out = _traj_out(xs0, xf0, us0)
+            return LineSearchResult(
+                success=acc0,
+                xs=xs_out,
+                us=us_out,
+                new_cost=cost0,
+                dcost=dcost0,
+                expected=expected0,
+                z=z0,
+                alpha_index=jnp.where(acc0, 0, A).astype(jnp.int32),
+            )
+
+        def full_path(_):
+            costs, okf = ctx.call(problem, alphas, params, None, multi=True,
+                                  interpret=interpret)
+            idx, any_ok, dcost, expected, z, al = _select_first_accept(
+                alphas, costs, okf, ctx, z_min
+            )
+            take = lambda m: jnp.take_along_axis(m, idx[None, :], axis=0)[0]
+            alpha_vec = take(jnp.broadcast_to(al, (A, Bp)))
+            need_sel = jnp.any(alive_p & any_ok & (idx > 0))
+            xs_cm, xf_cm, us_cm = jax.lax.cond(
+                need_sel,
+                lambda __: tuple(ctx.call(
+                    problem, alphas, params, alpha_vec[None, :], multi=False,
+                    interpret=interpret,
+                )),
+                lambda __: (xs0, xf0, us0),
+                None,
+            )
+            xs_out, us_out = _traj_out(xs_cm, xf_cm, us_cm)
+            return LineSearchResult(
+                success=any_ok,
+                xs=xs_out,
+                us=us_out,
+                new_cost=take(costs),
+                dcost=take(dcost),
+                expected=take(expected),
+                z=take(z),
+                alpha_index=jnp.where(
+                    any_ok, idx, jnp.asarray(A, jnp.int32)
+                ).astype(jnp.int32),
+            )
+
+        return jax.lax.cond(need_sweep, full_path, quick_path, None)
+
+    def dead_path(_):
+        # No live lane consumes this search (e.g. a body call where every
+        # active lane is in a lambda-escalation retry): skip BOTH rollout
+        # kernels.  Per-lane masking in the solver discards everything
+        # below; the nominal pass-through keeps the shapes/dtypes.
+        zeros = jnp.zeros((Bp,), dtype)
         return LineSearchResult(
-            success=acc0,
-            xs=xs_out,
-            us=us_out,
-            new_cost=cost0,
-            dcost=dcost0,
-            expected=expected0,
-            z=z0,
-            alpha_index=jnp.where(acc0, 0, A).astype(jnp.int32),
+            success=jnp.zeros((Bp,), bool),
+            xs=ctx.xs_nom_p,
+            us=ctx.us_nom_p,
+            new_cost=ctx.cost,
+            dcost=zeros,
+            expected=zeros,
+            z=zeros,
+            alpha_index=jnp.full((Bp,), A, jnp.int32),
         )
 
-    def full_path(_):
-        costs, okf = ctx.call(problem, alphas, params, None, multi=True,
-                              interpret=interpret)
-        idx, any_ok, dcost, expected, z, al = _select_first_accept(
-            alphas, costs, okf, ctx, z_min
-        )
-        take = lambda m: jnp.take_along_axis(m, idx[None, :], axis=0)[0]
-        alpha_vec = take(jnp.broadcast_to(al, (A, Bp)))
-        need_sel = jnp.any(alive_p & any_ok & (idx > 0))
-        xs_cm, xf_cm, us_cm = jax.lax.cond(
-            need_sel,
-            lambda __: tuple(ctx.call(
-                problem, alphas, params, alpha_vec[None, :], multi=False,
-                interpret=interpret,
-            )),
-            lambda __: (xs0, xf0, us0),
-            None,
-        )
-        xs_out, us_out = _traj_out(xs_cm, xf_cm, us_cm)
-        return LineSearchResult(
-            success=any_ok,
-            xs=xs_out,
-            us=us_out,
-            new_cost=take(costs),
-            dcost=take(dcost),
-            expected=take(expected),
-            z=take(z),
-            alpha_index=jnp.where(
-                any_ok, idx, jnp.asarray(A, jnp.int32)
-            ).astype(jnp.int32),
-        )
-
-    res = jax.lax.cond(need_sweep, full_path, quick_path, None)
+    res = jax.lax.cond(jnp.any(alive_p), live_path, dead_path, None)
     if ctx.pad:
         res = jax.tree_util.tree_map(lambda a: a[:B], res)
     return res

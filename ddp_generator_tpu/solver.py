@@ -1067,6 +1067,34 @@ class StepwiseSolver:
             donate_argnums=(0,),
         )
 
+        # Fused one-dispatch compaction: scatter the current working set
+        # back (when it was itself compacted), compute the actives-first
+        # order, and gather the new (half-size) working set -- in ONE
+        # device program.  The separate scatter/order/gather calls cost 3
+        # serialized host round trips (~25 ms each on relayed backends)
+        # per compaction event; a solve compacts up to compact_levels
+        # times.  jit re-specializes per (full, small, new_size) shapes.
+        def _compact(full, small, idx, new_size: int):
+            # small/idx are None on the FIRST compaction (the working set
+            # IS the full carry -- nothing to scatter back).
+            if idx is not None:
+                full = jax.tree_util.tree_map(
+                    lambda f, s: f.at[idx].set(s), full, small
+                )
+            order = jnp.argsort(
+                (full.done | (full.it >= o.max_iter)).astype(jnp.int32),
+                stable=True,
+            )
+            new_idx = order[:new_size]
+            new_small = jax.tree_util.tree_map(
+                lambda a: a[new_idx], full
+            )
+            return full, new_small, new_idx
+
+        self._compact_fused = jax.jit(
+            _compact, static_argnums=(3,), donate_argnums=(0,)
+        )
+
     def _chunk_for(self, chunk_len: int):
         f = self._chunk_cache.get(chunk_len)
         if f is None:
@@ -1149,15 +1177,24 @@ class StepwiseSolver:
         tasks.append(lambda: self._active(carry0))
         tasks.append(lambda: self._stats(carry0))
         if len(sizes) > 1:
-            tasks.append(lambda: self._order(carry0))
+            # Fused compaction program per size transition (see __call__):
+            # the first halving sees (full=B-carry, None, None); later ones
+            # (B-carry, prev-size working set, prev-size index).
+            for i, s in enumerate(sizes[1:]):
+                prev = sizes[i]
+                if prev == B:
+                    tasks.append(lambda s=s: self._compact_fused(
+                        zeros_like_sd(carry_sd, B), None, None, s))
+                else:
+                    tasks.append(lambda s=s, prev=prev: self._compact_fused(
+                        zeros_like_sd(carry_sd, B),
+                        zeros_like_sd(carry_sd, prev),
+                        jnp.arange(prev), s))
+            # The final writeback before finalize is a plain scatter at
+            # whatever size the solve ends on -- warm every candidate.
             for s in sizes[1:]:
-                # gather/scatter always address the FULL-size carry with an
-                # index of the (shrunken) working-set length (see __call__).
-                idx = jnp.arange(s)
-                tasks.append(lambda s=s, idx=idx: self._gather(
-                    zeros_like_sd(carry_sd, B), idx))
-                tasks.append(lambda s=s, idx=idx: self._scatter(
-                    zeros_like_sd(carry_sd, B), idx,
+                tasks.append(lambda s=s: self._scatter(
+                    zeros_like_sd(carry_sd, B), jnp.arange(s),
                     zeros_like_sd(carry_sd, s)))
         with ThreadPoolExecutor(max_workers=max_workers) as ex:
             futures = [ex.submit(t) for t in tasks]
@@ -1249,14 +1286,17 @@ class StepwiseSolver:
                 and (size // 2) % self._n_shards == 0
                 and active <= size // 2
             ):
-                if idx is not None:
-                    full = self._scatter(full, idx, small)
-                else:
-                    full = small
                 size //= 2
                 levels_left -= 1
-                idx = self._order(full)[:size]
-                small = self._gather(full, idx)
+                if idx is None:
+                    # First compaction: the working set IS the full carry.
+                    full, small, idx = self._compact_fused(
+                        small, None, None, size
+                    )
+                else:
+                    full, small, idx = self._compact_fused(
+                        full, small, idx, size
+                    )
                 if self.batch_params:
                     cur_params = sub_params(idx)
         if exhausted and int(self._active(small)) != 0:

@@ -266,10 +266,13 @@ if __name__ == "__main__":
         return acc + ls.new_cost * 1e-30
     timeK("line_search_pallas", loopK(step_pls))
 
-    # ---- staged pallas line_search: quick path (no live lane rejects --
-    # alive=False everywhere forces the alpha[0]-only branch) and full path
-    # (alive=True: the init-rollout inputs reject alpha[0], so this costs
-    # stage1 + sweep + selected) ----
+    # ---- staged pallas line_search ----
+    # dead-skip: alive=False everywhere now short-circuits BOTH stages
+    # (round-5 all-retry gating) -- measures the skip overhead (~0).
+    # stage1: the quick path's kernel cost measured directly (single-alpha
+    # rollout with trajectory + cost through _LSCtx.call).
+    # full: alive=True and the init-rollout inputs reject alpha[0], so this
+    # costs stage1 + sweep + selected.
     no_live = jnp.zeros((B,), bool)
     all_live = jnp.ones((B,), bool)
 
@@ -283,7 +286,21 @@ if __name__ == "__main__":
                 interpret=interp)
             return acc + ls.new_cost * 1e-30
         return fn
-    timeK("line_search_staged quick", loopK(step_sls(no_live)))
+    timeK("line_search_staged dead-skip", loopK(step_sls(no_live)))
+
+    from ddp_generator_tpu.ops.pallas_rollout import _LSCtx
+
+    def step_stage1(i, acc):
+        ctx = _LSCtx(problem, carry.xs[:, 0], carry.xs,
+                     carry.us + 1e-30 * acc[:, None, None], bp0.l, bp0.L,
+                     bp0.dV, carry.cost, mult.mu_le, mult.mu_li,
+                     mult.mu_fe, mult.mu_fi, wl_b, wf_b)
+        a0v = jnp.full((1, ctx.Bp), float(alpha_tuple[0]), ctx.dtype)
+        xs0, xf0, us0, cost0, ok0 = ctx.call(
+            problem, alpha_tuple, p, a0v, multi=False, interpret=interp,
+            want_cost=True)
+        return acc + cost0[0][:B] * 1e-30
+    timeK("line_search_staged stage1 (quick)", loopK(step_stage1))
     timeK("line_search_staged full", loopK(step_sls(all_live)))
 
     # ---- forward_pass (1 alpha) ----

@@ -70,12 +70,15 @@ def test_lam_retry_inline_matches_deferred(backpass):
     results -- same lambda/attempt sequences, different scheduling.  The
     workload is chosen to actually hit lambda-escalation retries."""
     prob = car_parking.car_parking()
-    p, x0, _ = car_parking.default_setup(T=40)
+    p, x0, _ = car_parking.default_setup(T=60)
     rng = np.random.default_rng(11)
-    B, T = 8, 40
+    B, T = 8, 60
     x0s = np.tile(np.asarray(x0), (B, 1))
-    u0s = 2.0 * rng.standard_normal((B, T, 2))  # aggressive: triggers retries
-    kw = dict(max_iter=25, backpass_method=backpass)
+    # Aggressive u0 + FULL_DDP second-order f terms: measured to produce
+    # non-PD Quu -> lambda-escalation retries on this workload (without
+    # them every iteration accepts and the retry path is never exercised).
+    u0s = 4.0 * rng.standard_normal((B, T, 2))
+    kw = dict(max_iter=30, full_ddp=True, backpass_method=backpass)
     if backpass == "pallas":
         kw["linesearch_method"] = "pallas"
     sol_d = ddp.make_batched_solver(

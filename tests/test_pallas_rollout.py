@@ -283,6 +283,20 @@ def test_staged_line_search_matches_unstaged_per_live_lane():
     np.testing.assert_array_equal(np.asarray(ref_b.xs)[live],
                                   np.asarray(got_d.xs)[live])
 
+    # No live lane at all (a pure lambda-retry body call): both stages are
+    # skipped and the result is a well-formed nominal pass-through -- the
+    # solver masks every field, but shapes/dtypes/finiteness must hold.
+    none_live = jnp.zeros((B,), bool)
+    got_n = pallas_line_search_staged(problem, alphas, *args_b[:7], 0.0, p,
+                                      *args_b[7:], alive=none_live,
+                                      interpret=True)
+    assert not np.asarray(got_n.success).any()
+    assert (np.asarray(got_n.alpha_index) == len(alphas)).all()
+    np.testing.assert_array_equal(np.asarray(got_n.xs), np.asarray(args_b[1]))
+    np.testing.assert_array_equal(np.asarray(got_n.us), np.asarray(args_b[2]))
+    np.testing.assert_array_equal(np.asarray(got_n.new_cost),
+                                  np.asarray(args_b[6]))
+
 
 def test_solver_staged_vs_unstaged_linesearch():
     """End-to-end: staged and unstaged pallas line search produce identical
