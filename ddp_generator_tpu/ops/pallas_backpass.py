@@ -322,26 +322,16 @@ def _make_kernel(n_x: int, n_u: int, reg_type: int, full_ddp: bool, N: int,
     grid step costs ~4 us of fixed sequencing/DMA overhead -- measured: the
     whole S=1 kernel runs at ~2.1 ms for N=500 regardless of per-step work.
     Blocking S steps per grid iteration amortizes that fixed cost; the S
-    sub-steps run as an unrolled in-kernel loop on VMEM-resident blocks.
-
-    Batch-on-sublanes layout (round 5): every per-step component read is a
-    2-D ``(SB, LBT)`` tile -- the batch axis pre-split ``B = SB * LB`` with
-    SB on sublanes and LB on lanes -- instead of the previous 1-of-8-
-    sublane ``(BT,)`` strip (`ref[c, 0, j, :]` of a (S, BT) minor-two
-    block), which was the diagnosed 3.7x-of-HBM-floor gap: each VPU op ran
-    at 1/8 vreg occupancy.  The split is a pure metadata reshape of the
-    contiguous (C, N, B) bundle -- the free version of the in-VMEM
-    relayout, with none of the transpose cost that sank the time-major
-    (N, C, B) experiment (BASELINE.md round 4)."""
+    sub-steps run as an unrolled in-kernel loop on VMEM-resident blocks."""
     NX, NU = n_x, n_u
 
     def kernel(
-        # step inputs (per-block refs, shape (C, 1, S, SB, LBT) -- component-
-        # OUTER with the time axis pre-split and the batch axis pre-split
-        # (C, G, S, SB, LB) so the minor-two block dims are the hardware-
-        # tiled (SB, LBT); the emission stacks per-component (N, B) arrays
-        # on a new leading axis, the one concatenation XLA lowers
-        # copy-free); FULL_DDP tensor refs present only when full_ddp:
+        # step inputs (per-block refs, shape (C, 1, S, BT) -- component-
+        # OUTER with the time axis pre-split (C, G, S, B) so the minor-two
+        # block dims equal the array dims; the emission stacks per-component
+        # (N, B) arrays on a new leading axis, the one concatenation XLA
+        # lowers copy-free); FULL_DDP tensor refs present only when
+        # full_ddp:
         *refs,
     ):
         it = iter(refs)
@@ -384,55 +374,54 @@ def _make_kernel(n_x: int, n_u: int, reg_type: int, full_ddp: bool, N: int,
         TU = lambda a, b: tri_index(min(a, b), max(a, b), NU)
         TXS, TUS = tri_size(NX), tri_size(NU)
 
-        lam = lam_ref[0]
+        lam = lam_ref[0, :]
         # Value-function carry as in-register values across the unrolled
         # in-block steps; flushed to VMEM scratch once per grid iteration.
-        # Every value below is a 2-D (SB, LBT) tile (batch on sublanes).
-        Vx = [vx_s[a] for a in range(NX)]
-        Vxx = [[vxx_s[XX(a, b)] for b in range(NX)] for a in range(NX)]
-        dv_acc = [dv_s[0], dv_s[1]]
-        g_acc = g_s[0]
-        fail_acc = fail_s[0]
+        Vx = [vx_s[a, :] for a in range(NX)]
+        Vxx = [[vxx_s[XX(a, b), :] for b in range(NX)] for a in range(NX)]
+        dv_acc = [dv_s[0, :], dv_s[1, :]]
+        g_acc = g_s[0, :]
+        fail_acc = fail_s[0, :]
 
         # Reverse time inside the block: in-block row j is time step
         # block_start + j, so the recursion visits j = S-1 .. 0.
         for j in range(S - 1, -1, -1):
-            fx = [[fx_ref[XX(a, b), 0, j] for b in range(NX)]
+            fx = [[fx_ref[XX(a, b), 0, j, :] for b in range(NX)]
                   for a in range(NX)]
-            fu = [[fu_ref[XU(a, b), 0, j] for b in range(NU)]
+            fu = [[fu_ref[XU(a, b), 0, j, :] for b in range(NU)]
                   for a in range(NX)]
-            cx = [cx_ref[a, 0, j] for a in range(NX)]
-            cu = [cu_ref[a, 0, j] for a in range(NU)]
-            cxx = [[cxx_ref[TX(a, b), 0, j] for b in range(NX)]
+            cx = [cx_ref[a, 0, j, :] for a in range(NX)]
+            cu = [cu_ref[a, 0, j, :] for a in range(NU)]
+            cxx = [[cxx_ref[TX(a, b), 0, j, :] for b in range(NX)]
                    for a in range(NX)]
-            cuu = [[cuu_ref[TU(a, b), 0, j] for b in range(NU)]
+            cuu = [[cuu_ref[TU(a, b), 0, j, :] for b in range(NU)]
                    for a in range(NU)]
-            cxu = [[cxu_ref[XU(a, b), 0, j] for b in range(NU)]
+            cxu = [[cxu_ref[XU(a, b), 0, j, :] for b in range(NU)]
                    for a in range(NX)]
             if full_ddp:
                 # (i, packed(a, b)) indices on the C axis; the last two axes
                 # of fxx/fuu are symmetric (mixed-partial symmetry)
-                fxx = [[[fxx_ref[i_ * TXS + TX(a, b), 0, j]
+                fxx = [[[fxx_ref[i_ * TXS + TX(a, b), 0, j, :]
                          for b in range(NX)]
                         for a in range(NX)] for i_ in range(NX)]
-                fuu = [[[fuu_ref[i_ * TUS + TU(a, b), 0, j]
+                fuu = [[[fuu_ref[i_ * TUS + TU(a, b), 0, j, :]
                          for b in range(NU)]
                         for a in range(NU)] for i_ in range(NX)]
-                fxu = [[[fxu_ref[(i_ * NX + a) * NU + b, 0, j]
+                fxu = [[[fxu_ref[(i_ * NX + a) * NU + b, 0, j, :]
                          for b in range(NU)]
                         for a in range(NX)] for i_ in range(NX)]
             else:
                 fxx = fuu = fxu = None
-            lower = [lower_ref[a, 0, j] for a in range(NU)]
-            upper = [upper_ref[a, 0, j] for a in range(NU)]
+            lower = [lower_ref[a, 0, j, :] for a in range(NU)]
+            upper = [upper_ref[a, 0, j, :] for a in range(NU)]
             # lower_hx/upper_hx are (n_u, n_x) row-major on the comp axis.
-            lo_hx = [[lo_hx_ref[a * NX + b, 0, j] for b in range(NX)]
+            lo_hx = [[lo_hx_ref[a * NX + b, 0, j, :] for b in range(NX)]
                      for a in range(NU)]
-            up_hx = [[up_hx_ref[a * NX + b, 0, j] for b in range(NX)]
+            up_hx = [[up_hx_ref[a * NX + b, 0, j, :] for b in range(NX)]
                      for a in range(NU)]
-            lo_s = [lo_s_ref[a, 0, j] for a in range(NU)]
-            up_s = [up_s_ref[a, 0, j] for a in range(NU)]
-            u_k = [u_ref[a, 0, j] for a in range(NU)]
+            lo_s = [lo_s_ref[a, 0, j, :] for a in range(NU)]
+            up_s = [up_s_ref[a, 0, j, :] for a in range(NU)]
+            u_k = [u_ref[a, 0, j, :] for a in range(NU)]
 
             (l_k, L_k, dv0, dv1, Vx_new, Vxx_new, g_k,
              step_failed_f) = riccati_step(
@@ -449,9 +438,9 @@ def _make_kernel(n_x: int, n_u: int, reg_type: int, full_ddp: bool, N: int,
             # write per-step outputs (zero once failed, like the scan
             # version)
             for a in range(NU):
-                l_ref[j, a] = live * l_k[a]
+                l_ref[j, a, :] = live * l_k[a]
                 for b in range(NX):
-                    L_ref[j, a * NX + b] = live * L_k[a][b]
+                    L_ref[j, a * NX + b, :] = live * L_k[a][b]
 
             # carry updates (freeze after failure)
             Vx = [Vx[a] + live * (Vx_new[a] - Vx[a]) for a in range(NX)]
@@ -461,18 +450,18 @@ def _make_kernel(n_x: int, n_u: int, reg_type: int, full_ddp: bool, N: int,
             g_acc = g_acc + live * g_k
 
         for a in range(NX):
-            vx_s[a] = Vx[a]
+            vx_s[a, :] = Vx[a]
             for b in range(NX):
-                vxx_s[XX(a, b)] = Vxx[a][b]
-        dv_s[0] = dv_acc[0]
-        dv_s[1] = dv_acc[1]
-        g_s[0] = g_acc
-        fail_s[0] = fail_acc
+                vxx_s[XX(a, b), :] = Vxx[a][b]
+        dv_s[0, :] = dv_acc[0]
+        dv_s[1, :] = dv_acc[1]
+        g_s[0, :] = g_acc
+        fail_s[0, :] = fail_acc
 
         @pl.when(is_last)
         def _fin():
             dv_ref[...] = dv_s[...]
-            gnorm_ref[0] = g_s[0] / float(N - 1)
+            gnorm_ref[0, :] = g_s[0, :] / float(N - 1)
             failed_ref[...] = fail_s[...]
 
     return kernel
@@ -490,65 +479,53 @@ def _pick_time_block(N: int, comps_per_step: int, B: int, itemsize: int,
     return best
 
 
-def _pick_batch_split(B: int) -> tuple[int, int]:
-    """Split ``B = SB * LB`` with SB on sublanes, LB on lanes.
-
-    SB = 8 fills every (8, 128) vreg exactly (the round-5 layout fix: the
-    previous 1-D batch vectors ran every VPU op at 1-of-8 sublane
-    occupancy).  Smaller batches fall back gracefully; B < 256 keeps the
-    1-row layout (tests / tiny batches -- perf is a TPU+large-B concern)."""
-    for sb in (8, 4, 2):
-        if B % (sb * 128) == 0:
-            return sb, B // sb
-    return 1, B
-
-
-def _pick_blocks(N: int, SB: int, LB: int, comps: int, itemsize: int,
+def _pick_blocks(N: int, B: int, comps: int, itemsize: int,
                  vmem_budget: int = 11 * 2 ** 20,
                  s_force: int | None = None):
-    """Choose (S time steps, LBT batch-lane tile) minimizing grid steps
-    under the VMEM budget.  Blocks are (C, S, SB, LBT): the minor-two dims
-    (SB, LBT) are hardware-tiled (8, 128), so VMEM cost rounds SB up to 8
-    sublanes (no padding when SB == 8, the production case).
+    """Choose (S time steps, BT batch tile) minimizing grid steps under the
+    VMEM budget.  Blocks are (C, S, BT): the minor-two dims (S, BT) are
+    hardware-tiled (8, 128), so VMEM cost rounds S up to 8 sublanes.
 
-    ``s_force`` pins S (user ``time_block``) and selects only LBT -- the
-    (S, LBT) pair is always validated jointly against the budget."""
+    ``s_force`` pins S (user ``time_block``) and selects only BT -- the
+    (S, BT) pair is always validated jointly against the budget."""
     best = None
-    lbts = [LB]
-    while lbts[-1] % 2 == 0 and lbts[-1] > 128:
-        lbts.append(lbts[-1] // 2)
-    # Auto-S restricted to powers of two <= 8: measured on v5e at
-    # B=2048/N=500 (round-4, 1-D batch layout), S=16 forces smaller batch
-    # tiles under the VMEM budget and loses, and non-power-of-2 S is slower
-    # even with fewer grid steps.  A user time_block is honored verbatim.
+    bts = [B]
+    while bts[-1] % 2 == 0 and bts[-1] > 128:
+        bts.append(bts[-1] // 2)
+    # Auto-S restricted to powers of two <= 8 (one sublane tile): measured
+    # on v5e at B=2048/N=500, S=16 forces smaller batch tiles under the
+    # VMEM budget and loses (4.26 ms vs S=4's 2.96 ms), and non-power-of-2
+    # S is slower even with fewer grid steps (S=5: 4.32, S=10: 4.28 ms vs
+    # S=4: 2.96; S=1: 3.17, S=2: 3.03).  A user time_block is honored
+    # verbatim.
     ss = [s_force] if s_force is not None else [1, 2, 4, 8]
-    sb_pad = -(-SB // 8) * 8 if LB >= 128 else SB  # sublane padding
     for s in ss:
         if N % s:
             continue
-        for lbt in lbts:
-            vmem = comps * s * sb_pad * lbt * itemsize * 2  # x2 dbl buffer
+        s_pad = -(-s // 8) * 8 if B >= 128 else s  # sublane padding
+        for bt in bts:
+            vmem = comps * s_pad * bt * itemsize * 2  # x2 double buffering
             if vmem <= vmem_budget:
-                steps = (N // s) * (LB // lbt)
-                cand = (steps, -s, LB // lbt)  # prefer fewer steps, big S
+                steps = (N // s) * (B // bt)
+                cand = (steps, -s, B // bt)  # prefer fewer steps, larger S
                 if best is None or cand < best[0]:
-                    best = (cand, s, lbt)
+                    best = (cand, s, bt)
                 break
     if best is None:
         if s_force is not None:
             raise ValueError(
                 f"time_block={s_force} does not fit the VMEM budget "
-                f"({vmem_budget} B) at any batch tile of LB={LB}"
+                f"({vmem_budget} B) at any batch tile of B={B}"
             )
-        # Fallback: smallest blocks.  LBT must DIVIDE LB or the grid
-        # silently under-covers the batch (tail lanes uninitialized).
-        lbt = LB
-        if LB > 128:
+        # Fallback: smallest blocks.  BT must DIVIDE B or the grid silently
+        # under-covers the batch (tail lanes uninitialized).
+        bt = B
+        if B > 128:
             for d in range(128, 0, -1):
-                if LB % d == 0:
-                    lbt = d
+                if B % d == 0:
+                    bt = d
                     break
-        return 1, lbt
+        return 1, bt
     return best[1], best[2]
 
 
@@ -609,22 +586,17 @@ def pallas_back_pass_cm(
         sd_cm.lower_sign, sd_cm.upper_sign, us_cm,
     ]
     comps = sum(a.shape[0] for a in step_inputs) + n_u + n_u * n_x  # + l, L
-    # Batch split B = SB * LB (SB batch rows on sublanes, LB on lanes): a
-    # free metadata reshape of the contiguous (..., B) minor axis that lets
-    # every per-step component read be a fully-packed (SB, LBT) vreg tile
-    # instead of a 1-sublane (BT,) strip -- see _make_kernel docstring.
-    SB, LB = _pick_batch_split(B)
     if interpret and time_block is None:
         # Interpret mode (CPU tests) pays trace/compile cost linear in the
         # unroll; keep blocks minimal there (perf is a TPU-only concern).
-        S, LBT = (2 if N % 2 == 0 else 1), LB
+        S, BT = (2 if N % 2 == 0 else 1), B
     else:
         if time_block is not None and N % time_block:
             raise ValueError(f"time_block {time_block} must divide N={N}")
-        S, LBT = _pick_blocks(N, SB, LB, comps, jnp.dtype(dtype).itemsize,
-                              s_force=time_block)
+        S, BT = _pick_blocks(N, B, comps, jnp.dtype(dtype).itemsize,
+                             s_force=time_block)
     G = N // S
-    NBT = LB // LBT
+    NBT = B // BT
 
     kernel = _make_kernel(n_x, n_u, reg_type, full_ddp, N, S)
 
@@ -632,53 +604,50 @@ def pallas_back_pass_cm(
     # a literal 0 under jax_enable_x64 becomes an i64 constant, which
     # Mosaic refuses to return from the index-map function.
     #
-    # Step inputs are reshaped (C, N, B) -> (C, G, S, SB, LB) -- a copy-free
-    # split of the time and batch axes -- and blocked (C, 1, S, SB, LBT).
-    # Mosaic requires a block's minor-two dims to be (8, 128)-divisible OR
-    # equal to the array dims; the minor-two here are (SB, LBT) which are
-    # exactly vreg-tiled in the SB=8 production case, so any S dividing N
-    # is legal as a plain third-from-minor dim.
-    def rev(bt, g):  # (C, 1, S, SB, LBT) block of a (C, G, S, SB, LB) array
+    # Step inputs are reshaped (C, N, B) -> (C, G, S, B) -- a copy-free
+    # split of the time axis -- and blocked (C, 1, S, BT).  Mosaic requires
+    # a block's minor-two dims to be (8, 128)-divisible OR equal to the
+    # array dims; with the 4-D form the minor-two are (S, BT) against array
+    # dims (S, B), so any S that divides N is legal.  (A 3-D (C, S, BT)
+    # block of (C, N, B) is rejected on hardware whenever S % 8 != 0.)
+    def rev(bt, g):  # (C, 1, S, BT) block of a (C, G, S, B) array
         z = bt - bt
-        return (z, G - 1 - g, z, z, bt)
+        return (z, G - 1 - g, z, bt)
 
     def spec(a):
-        return pl.BlockSpec((a.shape[0], 1, S, SB, LBT), rev,
+        return pl.BlockSpec((a.shape[0], 1, S, BT), rev,
                             memory_space=pltpu.VMEM)
 
-    fixed_inputs = [a.reshape(a.shape[0], G, S, SB, LB) for a in step_inputs]
+    fixed_inputs = [a.reshape(a.shape[0], G, S, B) for a in step_inputs]
     in_specs = [spec(a) for a in step_inputs]
     per_bt = lambda a: pl.BlockSpec(
-        (a.shape[0], SB, LBT), lambda bt, g: (bt - bt, bt - bt, bt),
+        (a.shape[0], BT), lambda bt, g: (bt - bt, bt),
         memory_space=pltpu.VMEM,
     )
-    lam2 = lam.reshape(1, SB, LB)
-    final_cx2 = final_cx.reshape(n_x, SB, LB)
-    final_cxx2 = final_cxx.reshape(n_x * n_x, SB, LB)
-    in_specs += [per_bt(lam2), per_bt(final_cx2), per_bt(final_cxx2)]
+    in_specs += [per_bt(lam), per_bt(final_cx), per_bt(final_cxx)]
 
     out_shape = [
-        jax.ShapeDtypeStruct((N, n_u, SB, LB), dtype),  # l
-        jax.ShapeDtypeStruct((N, n_u * n_x, SB, LB), dtype),  # L (u,x major)
-        jax.ShapeDtypeStruct((2, SB, LB), dtype),  # dV
-        jax.ShapeDtypeStruct((1, SB, LB), dtype),  # g_norm
-        jax.ShapeDtypeStruct((1, SB, LB), dtype),  # failed (0/1)
+        jax.ShapeDtypeStruct((N, n_u, B), dtype),  # l
+        jax.ShapeDtypeStruct((N, n_u * n_x, B), dtype),  # L (row-major u,x)
+        jax.ShapeDtypeStruct((2, B), dtype),  # dV
+        jax.ShapeDtypeStruct((1, B), dtype),  # g_norm
+        jax.ShapeDtypeStruct((1, B), dtype),  # failed (0/1)
     ]
-    rev2 = lambda bt, g: (G - 1 - g, bt - bt, bt - bt, bt)
-    fix2 = lambda bt, g: (bt - bt, bt - bt, bt)
+    rev2 = lambda bt, g: (G - 1 - g, bt - bt, bt)
+    fix2 = lambda bt, g: (bt - bt, bt)
     out_specs = [
-        pl.BlockSpec((S, n_u, SB, LBT), rev2, memory_space=pltpu.VMEM),
-        pl.BlockSpec((S, n_u * n_x, SB, LBT), rev2, memory_space=pltpu.VMEM),
-        pl.BlockSpec((2, SB, LBT), fix2, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, SB, LBT), fix2, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, SB, LBT), fix2, memory_space=pltpu.VMEM),
+        pl.BlockSpec((S, n_u, BT), rev2, memory_space=pltpu.VMEM),
+        pl.BlockSpec((S, n_u * n_x, BT), rev2, memory_space=pltpu.VMEM),
+        pl.BlockSpec((2, BT), fix2, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, BT), fix2, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, BT), fix2, memory_space=pltpu.VMEM),
     ]
     scratch = [
-        pltpu.VMEM((n_x, SB, LBT), dtype),
-        pltpu.VMEM((n_x * n_x, SB, LBT), dtype),
-        pltpu.VMEM((2, SB, LBT), dtype),
-        pltpu.VMEM((1, SB, LBT), dtype),
-        pltpu.VMEM((1, SB, LBT), dtype),
+        pltpu.VMEM((n_x, BT), dtype),
+        pltpu.VMEM((n_x * n_x, BT), dtype),
+        pltpu.VMEM((2, BT), dtype),
+        pltpu.VMEM((1, BT), dtype),
+        pltpu.VMEM((1, BT), dtype),
     ]
     l_cm, L_cm, dV, g_norm, failed = pl.pallas_call(
         kernel,
@@ -688,13 +657,7 @@ def pallas_back_pass_cm(
         out_shape=out_shape,
         scratch_shapes=scratch,
         interpret=interpret,
-    )(*fixed_inputs, lam2, final_cx2, final_cxx2)
-    # Merge the (SB, LB) split back to the flat batch axis (free reshape).
-    l_cm = l_cm.reshape(N, n_u, B)
-    L_cm = L_cm.reshape(N, n_u * n_x, B)
-    dV = dV.reshape(2, B)
-    g_norm = g_norm.reshape(1, B)
-    failed = failed.reshape(1, B)
+    )(*fixed_inputs, lam, final_cx, final_cxx)
     return l_cm, L_cm, dV, g_norm, failed > 0.0
 
 

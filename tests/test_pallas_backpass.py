@@ -141,38 +141,6 @@ def test_time_blocked_kernel_matches_unblocked():
         np.testing.assert_allclose(out.g_norm, ref.g_norm, **tol)
 
 
-def test_batch_sublane_split_matches_scan():
-    """B >= 256 engages the batch-on-sublanes layout (B = SB * LB with SB
-    batch rows on sublanes -- the round-5 vreg-occupancy fix); the split
-    and the merge back must be invisible in the results."""
-    from ddp_generator_tpu.ops.pallas_backpass import _pick_batch_split
-
-    assert _pick_batch_split(2048) == (8, 256)
-    assert _pick_batch_split(1024) == (8, 128)
-    assert _pick_batch_split(512) == (4, 128)
-    assert _pick_batch_split(256) == (2, 128)
-    assert _pick_batch_split(8) == (1, 8)
-    assert _pick_batch_split(640) == (1, 640)
-
-    rng = np.random.default_rng(17)
-    B, N, n_x, n_u = 256, 4, 4, 2
-    derivs, us = _rand_bundle(rng, B, N, n_x, n_u, False, True)
-    lam = jnp.asarray(np.abs(rng.standard_normal(B)) * 0.1, us.dtype)
-    hyper = BoxQPHyper(method="enumerate")
-    ref = jax.vmap(
-        lambda d, u, lm: back_pass(d, u, lm, 1, False, hyper)
-    )(derivs, us, lam)
-    out = batched_back_pass_pallas(
-        derivs, us, lam, 1, False, interpret=INTERPRET
-    )
-    tol = 1e-9 if us.dtype == jnp.float64 else 1e-4
-    np.testing.assert_array_equal(np.asarray(out.failed), np.asarray(ref.failed))
-    np.testing.assert_allclose(out.l, ref.l, rtol=tol, atol=tol)
-    np.testing.assert_allclose(out.L, ref.L, rtol=tol, atol=10 * tol)
-    np.testing.assert_allclose(out.dV, ref.dV, rtol=tol, atol=tol)
-    np.testing.assert_allclose(out.g_norm, ref.g_norm, rtol=tol, atol=tol)
-
-
 def test_pallas_failure_lane_matches_scan():
     """An indefinite Quu must fail in both implementations, and surviving
     lanes must be unaffected."""
