@@ -70,6 +70,13 @@ def main():
         "TPU backends; see comment in main)",
     )
     ap.add_argument(
+        "--inline-below", type=int, default=0,
+        help="A/B lever: working-set widths <= this run chunk programs "
+        "with lam_retry='inline' (reference inner-while retries; right "
+        "for the compacted tail where the kernel is cheap and straggler "
+        "lanes are retry-heavy).  0 = always deferred",
+    )
+    ap.add_argument(
         "--chunk", type=int, default=10,
         help="iterations per device call (bounds device-program duration; "
         "some TPU runtimes watchdog-kill minutes-long programs)",
@@ -155,7 +162,8 @@ def main():
         n_chips = len(devices)
         log(f"mesh: {n_chips} devices via shard_map")
     solver = ddp.make_stepwise_solver(problem, options, chunk=args.chunk,
-                                      mesh=mesh)
+                                      mesh=mesh,
+                                      inline_below=args.inline_below)
 
     p, x0, _ = car_parking.default_setup(T=args.T, seed=0)
     rng = np.random.default_rng(0)

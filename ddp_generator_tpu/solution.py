@@ -63,4 +63,6 @@ class Solution(NamedTuple):
     # lam_retry="inline": counts inner-while kernel ATTEMPTS instead
     # (solver._lam_retry_loop) -- not body calls and NOT a subset of
     # stale_calls, so don't difference the two in that mode.
+    # StepwiseSolver(inline_below=W) mixes both units in one lane's count
+    # (deferred chunks at full width, inline chunks in the tail).
     bp_retry_calls: Array  # int32

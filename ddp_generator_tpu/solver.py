@@ -920,6 +920,7 @@ class StepwiseSolver:
         mesh=None,
         mesh_axis: str = "batch",
         pipeline_depth: int = 1,
+        inline_below: int = 0,
     ):
         """``mesh``: optional 1-D ``jax.sharding.Mesh``.  When given, the
         batch axis of every heavy program (init / chunk-of-iterations /
@@ -930,7 +931,21 @@ class StepwiseSolver:
         (active count, status stats) and the rare compaction reshuffles are
         global.  This is the multi-chip form of the reference's
         one-instance-per-process scaling (``iLQG_mex.c:19-144``), riding the
-        mesh instead of process count."""
+        mesh instead of process count.
+
+        ``inline_below``: working-set widths <= this threshold run their
+        chunk programs with ``lam_retry="inline"`` (the reference's inner
+        while around only the backward pass, ``iLQG.c:261-284``) instead of
+        the deferred placement.  Per-lane results are mode-invariant (the
+        lambda/attempt sequences are identical -- pinned by
+        ``test_lam_retry_inline_matches_deferred``), but the SCHEDULING
+        economics flip with width: at full width a batch-wide inner while
+        runs max-over-lanes rungs of an expensive kernel (deferred wins,
+        BASELINE.md round-4 A/B), while in the compacted tail the kernel is
+        cheap and retry-heavy straggler lanes otherwise burn whole body
+        calls (with emission + masked line search) per rung.  0 disables.
+        NB: ``Solution.bp_retry_calls`` counts kernel attempts for
+        iterations executed in inline chunks (see solution.py)."""
         self.options = options
         self.chunk = chunk
         self.compact_levels = compact_levels
@@ -938,8 +953,15 @@ class StepwiseSolver:
         self.batch_params = batch_params
         self.mesh = mesh
         self.pipeline_depth = max(1, pipeline_depth)
+        self.inline_below = inline_below
         o = options
         init_fn, body_fn, finalize_fn = _make_parts(problem, options)
+        if inline_below > 0 and o.lam_retry != "inline":
+            _, body_fn_inline, _ = _make_parts(
+                problem, options.replace(lam_retry="inline")
+            )
+        else:
+            body_fn_inline = body_fn
 
         p_axis = 0 if batch_params else None
         init_v = jax.vmap(init_fn, in_axes=(0, 0, p_axis))
@@ -963,7 +985,9 @@ class StepwiseSolver:
         else:
             self._n_shards = 1
 
-        def make_chunk(chunk_len: int):
+        def make_chunk(chunk_len: int, inline: bool = False):
+            bf = body_fn_inline if inline else body_fn
+
             def chunk_fn(carry: _Carry, params):
                 def cond(s):
                     i, c = s
@@ -971,7 +995,7 @@ class StepwiseSolver:
 
                 def body(s):
                     i, c = s
-                    return i + 1, body_fn(c, params)
+                    return i + 1, bf(c, params)
 
                 _, out = lax.while_loop(
                     cond, body, (jnp.asarray(0, jnp.int32), carry)
@@ -1095,12 +1119,17 @@ class StepwiseSolver:
             _compact, static_argnums=(3,), donate_argnums=(0,)
         )
 
-    def _chunk_for(self, chunk_len: int):
-        f = self._chunk_cache.get(chunk_len)
+    def _chunk_for(self, chunk_len: int, inline: bool = False):
+        key = (chunk_len, inline)
+        f = self._chunk_cache.get(key)
         if f is None:
-            f = self._make_chunk(chunk_len)
-            self._chunk_cache[chunk_len] = f
+            f = self._make_chunk(chunk_len, inline)
+            self._chunk_cache[key] = f
         return f
+
+    def _inline_at(self, size: int) -> bool:
+        """Use the inline-retry chunk program at this working-set width?"""
+        return 0 < size <= self.inline_below
 
     def _chunk_len(self, size: int, B0: int) -> int:
         """Iterations per device call at working-set width ``size``.
@@ -1166,8 +1195,9 @@ class StepwiseSolver:
         for s in sizes:
             # NB: fresh zero carries per task -- _chunk donates its input.
             # Each compaction width runs its own chunk LENGTH (see
-            # _chunk_len), hence its own program.
-            cf = self._chunk_for(self._chunk_len(s, B))
+            # _chunk_len) and retry mode (see _inline_at), hence its own
+            # program.
+            cf = self._chunk_for(self._chunk_len(s, B), self._inline_at(s))
             tasks.append(
                 lambda s=s, cf=cf: cf(zeros_like_sd(carry_sd, s),
                                       sub_params(s))
@@ -1255,9 +1285,9 @@ class StepwiseSolver:
 
         pending = deque()  # device scalars: active counts of past chunks
         for chunk_i in range(n_calls):
-            small, act_dev = self._chunk_for(self._chunk_len(size, B))(
-                small, cur_params
-            )
+            small, act_dev = self._chunk_for(
+                self._chunk_len(size, B), self._inline_at(size)
+            )(small, cur_params)
             if o.debug_level >= 1:
                 import sys as _sys
 
@@ -1321,7 +1351,9 @@ def make_stepwise_solver(
     batch_params: bool = False,
     mesh=None,
     pipeline_depth: int = 1,
+    inline_below: int = 0,
 ) -> StepwiseSolver:
     return StepwiseSolver(problem, options, chunk=chunk,
                           batch_params=batch_params, mesh=mesh,
-                          pipeline_depth=pipeline_depth)
+                          pipeline_depth=pipeline_depth,
+                          inline_below=inline_below)

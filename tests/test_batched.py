@@ -99,6 +99,34 @@ def test_lam_retry_inline_matches_deferred(backpass):
                                np.asarray(sol_i.us), atol=1e-12)
 
 
+def test_stepwise_inline_below_matches_plain():
+    """StepwiseSolver(inline_below=W): tail chunks run inline-retry chunk
+    programs; per-lane results must equal the all-deferred solve exactly
+    (cost/us to roundoff -- the two modes schedule identical per-lane
+    sequences)."""
+    prob = car_parking.car_parking()
+    p, x0, _ = car_parking.default_setup(T=60)
+    rng = np.random.default_rng(11)
+    B, T = 16, 60
+    x0s = np.tile(np.asarray(x0), (B, 1))
+    u0s = 4.0 * rng.standard_normal((B, T, 2))  # retry-heavy workload
+    o = ddp.SolverOptions(max_iter=30, full_ddp=True)
+    plain = ddp.StepwiseSolver(prob, o, chunk=4, compact_levels=2,
+                               min_compact_batch=4)(x0s, u0s, p)
+    mixed = ddp.StepwiseSolver(prob, o, chunk=4, compact_levels=2,
+                               min_compact_batch=4,
+                               inline_below=8)(x0s, u0s, p)
+    assert int(np.asarray(plain.bp_retry_calls).sum()) > 0
+    np.testing.assert_array_equal(np.asarray(plain.status),
+                                  np.asarray(mixed.status))
+    np.testing.assert_array_equal(np.asarray(plain.iterations),
+                                  np.asarray(mixed.iterations))
+    np.testing.assert_allclose(np.asarray(plain.cost),
+                               np.asarray(mixed.cost), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(plain.us),
+                               np.asarray(mixed.us), atol=1e-12)
+
+
 def test_derivs_emitter_shared_matches_per_family():
     """The shared-primal-trace and per-family CM emitters are two codegen
     strategies for the SAME bundle; results agree to roundoff (per-family
