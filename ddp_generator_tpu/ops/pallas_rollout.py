@@ -111,7 +111,11 @@ def _make_rollout_kernel(
             ok_ref = next(it) if want_cost else None
         x_s, c_s, ok_s = next(it), next(it), next(it)
 
-        i = pl.program_id(0)
+        # grid = (batch_tiles, time_blocks); time is innermost so the VMEM
+        # rollout state is re-initialized once per batch tile (batch tiling
+        # exists for large B: whole-B blocks blow the scoped-VMEM limit at
+        # B >= 16384 -- measured 19.3 MB vs the 16 MB cap).
+        i = pl.program_id(1)
         wpl = wpl_ref[0, :]  # (B,)
         wpf = wpf_ref[0, :]
 
@@ -245,19 +249,51 @@ def _make_rollout_kernel(
 
 
 def _whole_spec(a: Array):
+    """Entire array resident (param leaves -- no batch axis)."""
     nd = a.ndim
-    return pl.BlockSpec(a.shape, lambda i: (i - i,) * nd,
+    return pl.BlockSpec(a.shape, lambda bt, i: (i - i,) * nd,
                         memory_space=pltpu.VMEM)
 
 
-def _step_spec(a: Array, S: int = 1):
-    nd = a.ndim
+def _fixed_spec(a: Array, BT: int):
+    """(c, B) batch-minor fixed input, batch-tiled."""
+    return pl.BlockSpec((a.shape[0], BT), lambda bt, i: (i - i, bt),
+                        memory_space=pltpu.VMEM)
 
-    def idx(i):
-        z = i - i
-        return (i,) + (z,) * (nd - 1)
 
-    return pl.BlockSpec((S,) + a.shape[1:], idx, memory_space=pltpu.VMEM)
+def _step_spec(a: Array, S: int, BT: int):
+    """(N, c, B) per-step input: (S, c, BT) block at (time, 0, batch)."""
+    return pl.BlockSpec((S, a.shape[1], BT), lambda bt, i: (i, i - i, bt),
+                        memory_space=pltpu.VMEM)
+
+
+def _pick_rollout_blocks(N: int, B: int, step_comps: int, out_step: int,
+                         out_fixed: int, scratch_comps: int, itemsize: int,
+                         vmem_budget: int = 8 * 2 ** 20):
+    """(S, BT) for the rollout kernels: largest batch tile whose working
+    set fits the scoped-VMEM budget, then the largest legal time block.
+    BT == B keeps today's whole-batch behavior for bench-sized batches.
+
+    The block-spec estimate below cannot see Mosaic's STACK temporaries
+    (the rollout body materializes many per-lane vector intermediates,
+    all scaling with BT): measured scoped usage at B=16384 was 16.37 MB
+    against a ~7 MB block estimate.  BT is therefore hard-capped at 4096
+    lanes -- a 4x margin below the measured blow-up, with per-grid-step
+    cost still far above the ~4 us fixed floor."""
+    from .pallas_backpass import _pick_time_block
+
+    def est(S, BT):
+        return (2 * S * (step_comps + out_step) + out_fixed
+                + scratch_comps) * BT * itemsize
+
+    BT = B
+    while (BT > 4096 or est(1, BT) > vmem_budget) and BT % 2 == 0 \
+            and BT > 128:
+        BT //= 2
+    S = _pick_time_block(N, step_comps + out_step, BT, itemsize)
+    while S > 1 and est(S, BT) > vmem_budget:
+        S = max(s for s in range(1, S) if N % s == 0)
+    return S, BT
 
 
 def rollout_call(
@@ -270,10 +306,12 @@ def rollout_call(
     interpret: bool = False,
     want_cost: bool = False,
     time_block: int | None = None,
+    batch_tile: int | None = None,
 ):
     """Invoke one rollout kernel (multi-alpha cost sweep or selected rollout).
 
-    All array args are component-major (see module docstring)."""
+    All array args are component-major (see module docstring).
+    ``batch_tile`` overrides the auto batch tile (tests / A-B levers)."""
     N, n_x, B = xnom_cm.shape
     n_u = unom_cm.shape[1]
     dtype = xnom_cm.dtype
@@ -293,19 +331,27 @@ def rollout_call(
     # Time-block the grid (see pallas_backpass._pick_time_block): the
     # per-step rollout math is far below the fixed per-grid-step cost, so
     # S=1 runs at ~4 us/step regardless of work (measured: the 8-alpha
-    # sweep and a single rollout both took ~2.0 ms at N=500).
-    from .pallas_backpass import _pick_time_block
-
+    # sweep and a single rollout both took ~2.0 ms at N=500).  Large B
+    # additionally tiles the batch axis to stay under the scoped-VMEM cap.
+    step_comps = sum(a.shape[1] for a in step_inputs)
+    out_step = (n_x + n_u) if not multi else 0
+    out_fixed = 2 * A if multi else (n_x + (2 if want_cost else 0))
+    scratch_comps = (n_x * A + 2 * A) if multi else (n_x + 2)
+    if interpret:
+        S, BT = (2 if N % 2 == 0 else 1), B
+    else:
+        S, BT = _pick_rollout_blocks(
+            N, B, step_comps, out_step, out_fixed, scratch_comps,
+            jnp.dtype(dtype).itemsize,
+        )
     if time_block is not None:
         S = time_block
         if N % S:
             raise ValueError(f"time_block {S} must divide N={N}")
-    elif interpret:
-        S = 2 if N % 2 == 0 else 1
-    else:
-        comps = sum(a.shape[1] for a in step_inputs)
-        comps += (n_x + n_u) if not multi else 0
-        S = _pick_time_block(N, comps, B, jnp.dtype(dtype).itemsize)
+    if batch_tile is not None:
+        if B % batch_tile:
+            raise ValueError(f"batch_tile {batch_tile} must divide B={B}")
+        BT = batch_tile
 
     kernel = _make_rollout_kernel(
         problem, N, alphas, leaf_shapes, np_dtype, multi, treedef,
@@ -318,38 +364,39 @@ def rollout_call(
         fixed_inputs.append(mu_fi_cm)
     if not multi:
         fixed_inputs.append(alpha_vec)
-    fixed_inputs += norm_leaves
 
-    in_specs = [_step_spec(a, S) for a in step_inputs]
-    in_specs += [_whole_spec(a) for a in fixed_inputs]
+    in_specs = [_step_spec(a, S, BT) for a in step_inputs]
+    in_specs += [_fixed_spec(a, BT) for a in fixed_inputs]
+    in_specs += [_whole_spec(a) for a in norm_leaves]
+    fixed_inputs += norm_leaves
 
     if multi:
         out_shape = [
             jax.ShapeDtypeStruct((A, B), dtype),  # costs
             jax.ShapeDtypeStruct((A, B), dtype),  # ok (0/1)
         ]
-        fix2 = lambda i: (i - i, i - i)
+        fix2 = lambda bt, i: (i - i, bt)
         out_specs = [
-            pl.BlockSpec((A, B), fix2, memory_space=pltpu.VMEM),
-            pl.BlockSpec((A, B), fix2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((A, BT), fix2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((A, BT), fix2, memory_space=pltpu.VMEM),
         ]
         scratch = [
-            pltpu.VMEM((n_x * A, B), dtype),
-            pltpu.VMEM((A, B), dtype),
-            pltpu.VMEM((A, B), dtype),
+            pltpu.VMEM((n_x * A, BT), dtype),
+            pltpu.VMEM((A, BT), dtype),
+            pltpu.VMEM((A, BT), dtype),
         ]
     else:
-        fwd2 = lambda i: (i, i - i, i - i)
-        fix2 = lambda i: (i - i, i - i)
+        fwd2 = lambda bt, i: (i, i - i, bt)
+        fix2 = lambda bt, i: (i - i, bt)
         out_shape = [
             jax.ShapeDtypeStruct((N, n_x, B), dtype),  # xs steps
             jax.ShapeDtypeStruct((n_x, B), dtype),  # x final
             jax.ShapeDtypeStruct((N, n_u, B), dtype),  # us
         ]
         out_specs = [
-            pl.BlockSpec((S, n_x, B), fwd2, memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_x, B), fix2, memory_space=pltpu.VMEM),
-            pl.BlockSpec((S, n_u, B), fwd2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, n_x, BT), fwd2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_x, BT), fix2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, n_u, BT), fwd2, memory_space=pltpu.VMEM),
         ]
         if want_cost:
             out_shape += [
@@ -357,18 +404,18 @@ def rollout_call(
                 jax.ShapeDtypeStruct((1, B), dtype),  # ok (0/1)
             ]
             out_specs += [
-                pl.BlockSpec((1, B), fix2, memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, B), fix2, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, BT), fix2, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, BT), fix2, memory_space=pltpu.VMEM),
             ]
         scratch = [
-            pltpu.VMEM((n_x, B), dtype),
-            pltpu.VMEM((1, B), dtype),
-            pltpu.VMEM((1, B), dtype),
+            pltpu.VMEM((n_x, BT), dtype),
+            pltpu.VMEM((1, BT), dtype),
+            pltpu.VMEM((1, BT), dtype),
         ]
 
     return pl.pallas_call(
         kernel,
-        grid=(N // S,),
+        grid=(B // BT, N // S),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
@@ -424,13 +471,13 @@ class _LSCtx:
         self.us_nom_p = us_nom
 
     def call(self, problem, alphas, params, alpha_vec, multi, interpret,
-             want_cost=False, time_block=None):
+             want_cost=False, time_block=None, batch_tile=None):
         return rollout_call(
             problem, alphas, self.xnom_cm, self.unom_cm, self.l_cm,
             self.L_cm, self.mu_le_cm, self.mu_li_cm, self.x0_cm, self.wpl,
             self.wpf, self.mu_fe_cm, self.mu_fi_cm, alpha_vec, params,
             multi=multi, interpret=interpret, want_cost=want_cost,
-            time_block=time_block,
+            time_block=time_block, batch_tile=batch_tile,
         )
 
 
@@ -476,6 +523,7 @@ def pallas_line_search(
     w_pen_f: Array,
     interpret: bool = False,
     time_block: int | None = None,
+    batch_tile: int | None = None,
 ) -> LineSearchResult:
     """Batched line search via the two fused rollout kernels.
 
@@ -487,8 +535,8 @@ def pallas_line_search(
     B, Bp = ctx.B, ctx.Bp
 
     costs, okf = ctx.call(problem, alphas, params, None, multi=True,
-                          interpret=interpret,
-                          time_block=time_block)  # (A, Bp) each
+                          interpret=interpret, time_block=time_block,
+                          batch_tile=batch_tile)  # (A, Bp) each
     idx, any_ok, dcost, expected, z, al = _select_first_accept(
         alphas, costs, okf, ctx, z_min
     )
@@ -498,6 +546,7 @@ def pallas_line_search(
     xs_cm, xf_cm, us_cm = ctx.call(
         problem, alphas, params, alpha_vec[None, :], multi=False,
         interpret=interpret, time_block=time_block,
+        batch_tile=batch_tile,
     )
     xs_out, us_out = _traj_out(xs_cm, xf_cm, us_cm)
 

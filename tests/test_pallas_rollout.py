@@ -148,6 +148,33 @@ def test_time_blocked_rollout_matches_unblocked():
                                    **tol)
 
 
+def test_batch_tiled_rollout_matches_untiled():
+    """Batch tiling of the rollout kernels (grid (B//BT, N//S), added for
+    B >= 16384 where whole-batch blocks exceed the scoped-VMEM cap) is
+    semantics-preserving per batch tile."""
+    problem = car_parking.car_parking()
+    p, x0, _ = car_parking.default_setup(T=30)
+    B, T = 4, 30
+    p = jax.tree_util.tree_map(lambda a: jnp.asarray(a, jnp.float64), p)
+    args = _ls_inputs(problem, p, x0, T, B)
+    alphas = tuple(ddp.DEFAULT_ALPHA)
+
+    ref = pallas_line_search(problem, alphas, *args[:7], 0.0, p, *args[7:],
+                             interpret=True)
+    # B pads to 128 lanes inside; 64 and 32 exercise 2 and 4 batch tiles.
+    for bt in (64, 32):
+        got = pallas_line_search(problem, alphas, *args[:7], 0.0, p,
+                                 *args[7:], interpret=True, batch_tile=bt)
+        np.testing.assert_array_equal(np.asarray(ref.success),
+                                      np.asarray(got.success))
+        np.testing.assert_array_equal(np.asarray(ref.alpha_index),
+                                      np.asarray(got.alpha_index))
+        np.testing.assert_array_equal(np.asarray(ref.new_cost),
+                                      np.asarray(got.new_cost))
+        np.testing.assert_array_equal(np.asarray(ref.xs), np.asarray(got.xs))
+        np.testing.assert_array_equal(np.asarray(ref.us), np.asarray(got.us))
+
+
 def test_pallas_line_search_pads_odd_batch():
     problem = car_parking.car_parking()
     p, x0, _ = car_parking.default_setup(T=20)
