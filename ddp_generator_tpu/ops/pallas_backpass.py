@@ -82,27 +82,37 @@ def _sym_solve_small(H, rhs, free, n):
     """Masked free-set solve via closed-form inverse; H, rhs are dicts of
     (B,) vectors: H[(i,j)], rhs[i].  Returns (x dict, pd_ok (B,), inv fn).
 
-    free: tuple of static bools per index (the clamp pattern).
+    free: tuple of static bools per index (the clamp pattern).  Only the
+    FREE submatrix is solved (clamped rows/cols are statically zero in
+    every consumed value) -- bit-identical to the padded-identity form it
+    replaces, at a fraction of the divisions for clamped patterns (the
+    dominant cost of the 3^n_u enumeration on the VPU).
     """
-    # Build masked matrix entries: identity on clamped rows/cols.
-    def h(i, j):
-        if free[i] and free[j]:
-            return H[(min(i, j), max(i, j))]
-        one = 1.0 if i == j else 0.0
-        return jnp.full_like(rhs[0], one)
+    idxs = [i for i in range(n) if free[i]]
+    m = len(idxs)
+    if m > 3:
+        raise NotImplementedError("pallas backward pass supports n_u <= 3")
 
-    if n == 1:
+    def h(i, j):
+        return H[(min(idxs[i], idxs[j]), max(idxs[i], idxs[j]))]
+
+    inv = {}
+    if m == 0:
+        # All clamped: nothing to solve; the identity-padded form was
+        # unconditionally PD.
+        ok = jnp.ones_like(rhs[0], bool)
+    elif m == 1:
         a = h(0, 0)
         ok = a > 0.0
         det = jnp.where(ok, a, 1.0)
         inv = {(0, 0): 1.0 / det}
-    elif n == 2:
+    elif m == 2:
         a, b, d = h(0, 0), h(0, 1), h(1, 1)
         det = a * d - b * b
         ok = (a > 0.0) & (det > 0.0)
         sdet = jnp.where(ok, det, 1.0)
         inv = {(0, 0): d / sdet, (0, 1): -b / sdet, (1, 1): a / sdet}
-    elif n == 3:
+    else:
         a, b, c = h(0, 0), h(0, 1), h(0, 2)
         d, e, f = h(1, 1), h(1, 2), h(2, 2)
         m2 = a * d - b * b
@@ -117,18 +127,19 @@ def _sym_solve_small(H, rhs, free, n):
             (1, 2): (b * c - a * e) / sdet,
             (2, 2): (a * d - b * b) / sdet,
         }
-    else:
-        raise NotImplementedError("pallas backward pass supports n_u <= 3")
+
+    pos = {gi: i for i, gi in enumerate(idxs)}  # global -> submatrix index
 
     def iv(i, j):
-        v = inv[(min(i, j), max(i, j))]
         # zero outside the free block
         if not (free[i] and free[j]):
-            return jnp.zeros_like(v)
-        return v
+            return jnp.zeros_like(rhs[0])
+        a_, b_ = pos[i], pos[j]
+        return inv[(min(a_, b_), max(a_, b_))]
 
     x = [
-        sum(iv(i, j) * rhs[j] for j in range(n)) if free[i] else jnp.zeros_like(rhs[0])
+        sum(iv(i, j) * rhs[j] for j in idxs) if free[i]
+        else jnp.zeros_like(rhs[0])
         for i in range(n)
     ]
     return x, ok, iv
@@ -205,8 +216,14 @@ def riccati_step(
 
     zeros = jnp.zeros_like(Qu[0])
     ones = jnp.ones_like(zeros)
-    # full-H PD gate (boxqp_enumerate)
-    _, pd_full, _ = _sym_solve_small(Hd, Qu, tuple([True] * NU), NU)
+    # Full-H solve, shared between the PD gate (boxqp_enumerate) and the
+    # all-free pattern in the loop below (which previously re-ran the same
+    # closed-form inverse on an identical rhs: xc == 0 there, so
+    # rhs == -Qu).
+    all_free = tuple([True] * NU)
+    x_free, pd_full, iv_full = _sym_solve_small(
+        Hd, [-Qu[a] for a in range(NU)], all_free, NU
+    )
 
     # Persistent selection state as float 0/1 masks (see module doc).
     best_valid = zeros  # 0/1
@@ -234,13 +251,19 @@ def riccati_step(
             if ok_a is not None:
                 bound_ok = ok_a if bound_ok is None else (bound_ok & ok_a)
 
-        # rhs = -(g + H xc) (full), solve on free block
-        Hxc = [
-            sum(Hd[(min(a, b), max(a, b))] * xc[b] for b in range(NU))
-            for a in range(NU)
-        ]
-        rhs = [-(Qu[a] + Hxc[a]) for a in range(NU)]
-        xf, pd_ok, iv = _sym_solve_small(Hd, rhs, free, NU)
+        if free == all_free:
+            xf, pd_ok, iv = x_free, pd_full, iv_full
+        else:
+            # rhs = -(g + H xc), solve on the free block; only CLAMPED
+            # dims contribute to Hxc (xc is zero on free dims).
+            clamped = [b for b in range(NU) if not free[b]]
+            rhs = [
+                -(Qu[a] + sum(Hd[(min(a, b), max(a, b))] * xc[b]
+                              for b in clamped))
+                if free[a] else zeros
+                for a in range(NU)
+            ]
+            xf, pd_ok, iv = _sym_solve_small(Hd, rhs, free, NU)
         x = [xf[a] if free[a] else xc[a] for a in range(NU)]
         grad = [
             Qu[a] + sum(Hd[(min(a, b), max(a, b))] * x[b] for b in range(NU))

@@ -170,6 +170,48 @@ def test_cm_back_pass_matches_scan():
     assert np.asarray(ok).all()
 
 
+def test_emit_once_kernel_twice_matches_two_full_calls():
+    """The cm_emit / cm_back_pass_from_bundle split exists so a lambda
+    retry re-runs ONLY the kernel on the frozen bundle (iLQG.c:261-284);
+    two kernel calls at different lambdas on one emitted bundle must equal
+    two full emit+kernel passes."""
+    from ddp_generator_tpu.ops.cm_derivs import (
+        cm_back_pass_from_bundle,
+        cm_derivs_back_pass,
+        cm_emit,
+    )
+
+    (problem, p, xs, us, mu_le, mu_li, mu_fe, mu_fi, wl, wf) = _setup()
+    B = us.shape[0]
+    lam1 = jnp.full((B,), 0.1)
+    lam2 = jnp.full((B,), 1.6)  # an escalated-retry lambda
+
+    # NB: unjitted -- `pad` is a static python int consumed by slicing.
+    sd_cm, fcx, fcxx, us_cm, ok, pad = cm_emit(
+        problem, xs, us, mu_le, mu_li, mu_fe, mu_fi, wl, wf,
+        params=p, full_ddp=True)
+    from_bundle = jax.jit(
+        lambda lm: cm_back_pass_from_bundle(
+            dict(sd_cm), fcx, fcxx, us_cm, lm, problem.n_x, 1, True, pad,
+            interpret=True)
+    )
+    full = jax.jit(
+        lambda lm: cm_derivs_back_pass(
+            problem, xs, us, mu_le, mu_li, mu_fe, mu_fi, wl, wf, lm, p,
+            1, True, interpret=True)[0]
+    )
+    # Separate jit programs fuse the emission differently -> ~1 ulp noise.
+    tol = dict(rtol=1e-13, atol=1e-15)
+    for lam in (lam1, lam2):
+        a, b = from_bundle(lam), full(lam)
+        np.testing.assert_array_equal(np.asarray(a.failed),
+                                      np.asarray(b.failed))
+        np.testing.assert_allclose(np.asarray(a.l), np.asarray(b.l), **tol)
+        np.testing.assert_allclose(np.asarray(a.L), np.asarray(b.L), **tol)
+        np.testing.assert_allclose(np.asarray(a.g_norm),
+                                   np.asarray(b.g_norm), **tol)
+
+
 def test_batched_solver_combined_path_matches_serial():
     problem = car_parking.car_parking()
     p, x0, _ = car_parking.default_setup(T=40, seed=0)
