@@ -186,6 +186,28 @@ def main():
         log(f"artifact loaded in {time.time()-t0:.1f}s")
         args.no_precompile = True
 
+    # Wedged-tunnel guard: the relay backend's first dispatch has measured
+    # 3 s .. 980 s for identical code (BASELINE.md), and a wedged tunnel can
+    # hang a trivial program for minutes while recovering on retry.  Probe
+    # with a trivial dispatch in a SUBPROCESS (a hung in-process dispatch
+    # cannot be cancelled), and wait+retry until the tunnel answers quickly
+    # -- bounding the variance the timed section below inherits.
+    if platform != "cpu":
+        import subprocess
+        probe = ("import jax, numpy, jax.numpy as jnp;"
+                 "numpy.asarray(jnp.ones((128,128)) @ jnp.ones((128,128)))")
+        for attempt in range(3):
+            t0 = time.time()
+            try:
+                subprocess.run([sys.executable, "-c", probe], timeout=120,
+                               capture_output=True)
+                log(f"tunnel probe: {time.time()-t0:.1f}s")
+                break
+            except subprocess.TimeoutExpired:
+                log(f"tunnel probe hung >120s (attempt {attempt + 1}/3); "
+                    "waiting 30s for the relay to recover")
+                time.sleep(30)
+
     # NB: np.asarray (not block_until_ready) is the sync point -- on relayed
     # TPU backends block_until_ready can return before execution finishes.
     t0 = time.time()
