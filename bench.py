@@ -77,6 +77,19 @@ def main():
         "lanes are retry-heavy).  0 = always deferred",
     )
     ap.add_argument(
+        "--pipeline-depth", type=int, default=1,
+        help="A/B lever: chunks enqueued ahead of the lagged active-count "
+        "sync (StepwiseSolver pipeline_depth)",
+    )
+    ap.add_argument(
+        "--compact-levels", type=int, default=4,
+        help="A/B lever: max batch halvings of the working set",
+    )
+    ap.add_argument(
+        "--min-compact", type=int, default=128,
+        help="A/B lever: smallest compacted working-set width",
+    )
+    ap.add_argument(
         "--chunk", type=int, default=10,
         help="iterations per device call (bounds device-program duration; "
         "some TPU runtimes watchdog-kill minutes-long programs)",
@@ -161,9 +174,11 @@ def main():
         mesh = make_mesh(devices)
         n_chips = len(devices)
         log(f"mesh: {n_chips} devices via shard_map")
-    solver = ddp.make_stepwise_solver(problem, options, chunk=args.chunk,
-                                      mesh=mesh,
-                                      inline_below=args.inline_below)
+    solver = ddp.StepwiseSolver(problem, options, chunk=args.chunk,
+                                mesh=mesh, inline_below=args.inline_below,
+                                pipeline_depth=args.pipeline_depth,
+                                compact_levels=args.compact_levels,
+                                min_compact_batch=args.min_compact)
 
     p, x0, _ = car_parking.default_setup(T=args.T, seed=0)
     rng = np.random.default_rng(0)
