@@ -118,11 +118,24 @@ def export_solver(
     plats = tuple(platforms) if platforms else (jax.default_backend(),)
     if uses_pallas and any(p.lower() == "tpu" for p in plats):
         disabled = (jexport.DisabledSafetyCheck.custom_call("tpu_custom_call"),)
-    exp = jexport.export(
-        fn,
-        platforms=tuple(platforms) if platforms else None,
-        disabled_checks=list(disabled),
-    )(*specs)
+    # Export for a non-f64 solver under an x64-disabled scope: with x64 on,
+    # jax.export's lowering materializes weak python-float constants inside
+    # the Pallas kernels as f64 + an explicit f64->f32 convert, which Mosaic
+    # refuses ("Unsupported cast") -- plain jit demotes the same constants
+    # silently.  The exported program's dtypes are fully pinned by the arg
+    # specs + options.dtype, so the scope changes nothing else.
+    import contextlib
+    x64_scope = (
+        contextlib.nullcontext()
+        if jnp.dtype(options.dtype) == jnp.float64
+        else jax.enable_x64(False)
+    )
+    with x64_scope:
+        exp = jexport.export(
+            fn,
+            platforms=tuple(platforms) if platforms else None,
+            disabled_checks=list(disabled),
+        )(*specs)
     return bytes(exp.serialize())
 
 
