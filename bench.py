@@ -39,12 +39,14 @@ def main():
     ap.add_argument("--unroll", type=int, default=1, help="horizon scan unroll")
     ap.add_argument(
         "--backpass", default=None,
-        choices=["serial", "pallas", "fused", "parallel"],
+        choices=["serial", "pallas", "fused"],
         help="backward-pass implementation (default: pallas on TPU — the "
         "streamed component-major bundle kernel; serial scan elsewhere). "
-        "fused = derivs computed in-kernel (documented negative result); "
-        "parallel = associative-scan Riccati (unconstrained problems only "
-        "— NOT CarParking; use for A/B on other workloads)",
+        "fused = derivs computed in-kernel (documented negative result). "
+        "NB 'parallel' (associative-scan Riccati) is NOT offered here: it "
+        "requires an unconstrained problem and this bench is the "
+        "box-constrained CarParking workload — its A/B lives in "
+        "scripts/bench_parallel_riccati.py",
     )
     ap.add_argument(
         "--linesearch", default=None, choices=["serial", "pallas"],
@@ -214,10 +216,19 @@ def main():
         for attempt in range(3):
             t0 = time.time()
             try:
-                subprocess.run([sys.executable, "-c", probe], timeout=120,
-                               capture_output=True)
-                log(f"tunnel probe: {time.time()-t0:.1f}s")
-                break
+                proc = subprocess.run([sys.executable, "-c", probe],
+                                      timeout=120, capture_output=True)
+                if proc.returncode == 0:
+                    log(f"tunnel probe: {time.time()-t0:.1f}s")
+                    break
+                # A fast CRASH (connection refused, second-client TPU
+                # acquisition failure) is exactly the broken state the
+                # probe exists to catch -- do not mistake it for healthy.
+                log(f"tunnel probe FAILED rc={proc.returncode} "
+                    f"(attempt {attempt + 1}/3): "
+                    f"{proc.stderr.decode(errors='replace')[-200:]}; "
+                    "waiting 30s")
+                time.sleep(30)
             except subprocess.TimeoutExpired:
                 log(f"tunnel probe hung >120s (attempt {attempt + 1}/3); "
                     "waiting 30s for the relay to recover")
@@ -259,14 +270,16 @@ def main():
     exhausted = status == 7
     stale_frac = stale_calls.sum() / max(body_calls.sum(), 1)
     retry_frac = bp_retry_calls.sum() / max(body_calls.sum(), 1)
-    if args.lam_retry == "deferred":
-        # bp_retry_calls is a subset of stale_calls only in deferred mode;
-        # in inline mode it counts inner-while kernel attempts (not body
-        # calls), so the stale split below would be meaningless there.
+    if args.lam_retry == "deferred" and args.inline_below == 0:
+        # bp_retry_calls is a subset of stale_calls ONLY in pure deferred
+        # mode; inline mode (and inline tail chunks under --inline-below)
+        # counts inner-while kernel attempts instead -- not body calls --
+        # so the split below would be garbage there.
         split = (f"(lambda-retry {retry_frac*100:.1f}% / LS-reject "
                  f"{(stale_frac-retry_frac)*100:.1f}%) ")
     else:
-        split = f"(inline kernel retry attempts: {bp_retry_calls.sum()}) "
+        split = (f"(kernel retry attempts incl. inline: "
+                 f"{bp_retry_calls.sum()}) ")
     log(
         f"batch={B} wall={dt:.3f}s success={succ.mean()*100:.1f}% "
         f"solved={solved.mean()*100:.1f}% exhausted={exhausted.mean()*100:.1f}% "

@@ -512,9 +512,16 @@ def _pick_blocks(N: int, B: int, comps: int, itemsize: int,
     ``s_force`` pins S (user ``time_block``) and selects only BT -- the
     (S, BT) pair is always validated jointly against the budget."""
     best = None
-    bts = [B]
-    while bts[-1] % 2 == 0 and bts[-1] > 128:
-        bts.append(bts[-1] // 2)
+    # Candidate tiles must divide B AND stay 128-lane-aligned (Mosaic:
+    # block minor dims must be (8,128)-divisible or equal to the array
+    # dim); plain halving can produce illegal tiles for B = 128*odd
+    # (e.g. B=4480 halves to 2240 = 17.5 lane tiles).
+    if B % 128 == 0:
+        m = B // 128
+        bts = sorted((128 * d for d in range(1, m + 1) if m % d == 0),
+                     reverse=True)
+    else:
+        bts = [B]
     # Auto-S restricted to powers of two <= 8 (one sublane tile): measured
     # on v5e at B=2048/N=500, S=16 forces smaller batch tiles under the
     # VMEM budget and loses (4.26 ms vs S=4's 2.96 ms), and non-power-of-2

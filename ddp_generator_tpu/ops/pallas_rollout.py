@@ -286,10 +286,18 @@ def _pick_rollout_blocks(N: int, B: int, step_comps: int, out_step: int,
         return (2 * S * (step_comps + out_step) + out_fixed
                 + scratch_comps) * BT * itemsize
 
-    BT = B
-    while (BT > 4096 or est(1, BT) > vmem_budget) and BT % 2 == 0 \
-            and BT > 128:
-        BT //= 2
+    # Candidate tiles must divide B AND be 128-lane-aligned (Mosaic: block
+    # minor dims must be (8,128)-divisible or equal to the array dim) --
+    # halving alone misses legal tiles and can produce ILLEGAL ones for
+    # B = 128*odd (e.g. B=4480 halves to 2240 = 17.5 tiles).
+    if B % 128 == 0:
+        m = B // 128
+        cands = sorted((128 * d for d in range(1, m + 1) if m % d == 0),
+                       reverse=True)
+    else:
+        cands = [B]  # small/unpadded batches run whole
+    BT = next((bt for bt in cands
+               if bt <= 4096 and est(1, bt) <= vmem_budget), cands[-1])
     S = _pick_time_block(N, step_comps + out_step, BT, itemsize)
     while S > 1 and est(S, BT) > vmem_budget:
         S = max(s for s in range(1, S) if N % s == 0)

@@ -1072,18 +1072,10 @@ class StepwiseSolver:
             ])
 
         self._stats = jax.jit(_status_stats)
-        # Compaction helpers (jit re-specializes per working-set shape):
-        # actives-first permutation, gather a prefix, scatter a working set
-        # back into the full carry.
-        self._order = jax.jit(
-            lambda c: jnp.argsort(
-                (c.done | (c.it >= o.max_iter)).astype(jnp.int32),
-                stable=True,
-            )
-        )
-        self._gather = jax.jit(
-            lambda c, idx: jax.tree_util.tree_map(lambda a: a[idx], c)
-        )
+        # Final-writeback scatter (jit re-specializes per working-set
+        # shape): after the loop, the compacted working set is scattered
+        # back into the full carry before finalize.  All mid-run
+        # compaction goes through _compact_fused below.
         self._scatter = jax.jit(
             lambda full, idx, small: jax.tree_util.tree_map(
                 lambda f, s: f.at[idx].set(s), full, small

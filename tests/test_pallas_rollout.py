@@ -175,6 +175,27 @@ def test_batch_tiled_rollout_matches_untiled():
         np.testing.assert_array_equal(np.asarray(ref.us), np.asarray(got.us))
 
 
+def test_batch_tile_pickers_stay_lane_aligned():
+    """Batch tiles must divide B AND be 128-lane multiples (Mosaic block
+    constraint) -- plain halving produced illegal tiles for B = 128*odd
+    (4480 -> 2240 = 17.5 lane tiles, a TPU compile failure invisible to
+    interpret-mode tests)."""
+    from ddp_generator_tpu.ops.pallas_backpass import _pick_blocks
+    from ddp_generator_tpu.ops.pallas_rollout import _pick_rollout_blocks
+
+    for B in (4480, 2048, 4096, 16384, 128 * 35, 128 * 7, 640):
+        S, BT = _pick_rollout_blocks(500, B, 16, 0, 16, 48, 4)
+        assert B % BT == 0
+        assert BT % 128 == 0 or BT == B
+        assert BT <= 4096
+        S2, BT2 = _pick_blocks(500, B, 87, 4)
+        assert B % BT2 == 0
+        assert BT2 % 128 == 0 or BT2 == B
+    # Small unpadded batches still run whole.
+    S, BT = _pick_rollout_blocks(30, 8, 16, 0, 16, 48, 8)
+    assert BT == 8
+
+
 def test_pallas_line_search_pads_odd_batch():
     problem = car_parking.car_parking()
     p, x0, _ = car_parking.default_setup(T=20)
