@@ -127,6 +127,33 @@ def test_stepwise_inline_below_matches_plain():
                                np.asarray(mixed.us), atol=1e-12)
 
 
+def test_stepwise_inline_below_under_mesh_matches_plain():
+    """inline_below tail chunks must also work under shard_map (the inner
+    retry while runs inside custom_vmap inside vmap inside shard_map)."""
+    from ddp_generator_tpu.parallel.mesh import make_mesh
+
+    prob = car_parking.car_parking()
+    p, x0, _ = car_parking.default_setup(T=40)
+    rng = np.random.default_rng(11)
+    B, T = 16, 40
+    x0s = np.tile(np.asarray(x0), (B, 1))
+    u0s = 4.0 * rng.standard_normal((B, T, 2))
+    o = ddp.SolverOptions(max_iter=20, full_ddp=True,
+                          backpass_method="pallas",
+                          linesearch_method="pallas")
+    plain = ddp.StepwiseSolver(prob, o, chunk=4, compact_levels=1,
+                               min_compact_batch=8)(x0s, u0s, p)
+    meshed = ddp.StepwiseSolver(prob, o, chunk=4, compact_levels=1,
+                                min_compact_batch=8, inline_below=8,
+                                mesh=make_mesh())(x0s, u0s, p)
+    np.testing.assert_array_equal(np.asarray(plain.status),
+                                  np.asarray(meshed.status))
+    np.testing.assert_array_equal(np.asarray(plain.iterations),
+                                  np.asarray(meshed.iterations))
+    np.testing.assert_allclose(np.asarray(plain.cost),
+                               np.asarray(meshed.cost), rtol=1e-12)
+
+
 def test_derivs_emitter_shared_matches_per_family():
     """The shared-primal-trace and per-family CM emitters are two codegen
     strategies for the SAME bundle; results agree to roundoff (per-family
